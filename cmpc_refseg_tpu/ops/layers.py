@@ -1,0 +1,96 @@
+"""Functional layer primitives: conv / pooling / initializers.
+
+Plain-pytree design: every layer is an ``init_*`` returning a param dict and
+an ``apply``-style function.  Parameter leaf names mirror the reference TF
+variable names ('DW' / 'biases', CMPC_model.py:412-417) so the checkpoint
+converter is a pure name map.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# NHWC activations, HWIO kernels — the native TPU conv layout.
+DIMS = ("NHWC", "HWIO", "NHWC")
+
+
+def xavier_conv_init(key, shape, dtype=jnp.float32):
+    """`tf.contrib.layers.xavier_initializer_conv2d` parity (glorot uniform
+    with receptive-field-scaled fans)."""
+    kh, kw, cin, cout = shape
+    fan_in = kh * kw * cin
+    fan_out = kh * kw * cout
+    limit = float(np.sqrt(6.0 / (fan_in + fan_out)))
+    return jax.random.uniform(key, shape, dtype, -limit, limit)
+
+
+def glorot_uniform(key, shape, dtype=jnp.float32):
+    """TF1 `get_variable` default initializer for >=2D variables."""
+    fan_in = int(np.prod(shape[:-1]))
+    fan_out = int(shape[-1])
+    limit = float(np.sqrt(6.0 / (fan_in + fan_out)))
+    return jax.random.uniform(key, shape, dtype, -limit, limit)
+
+
+def normal_init(key, shape, stddev=0.01, dtype=jnp.float32):
+    return stddev * jax.random.normal(key, shape, dtype)
+
+
+def init_conv(key, ksize: int, cin: int, cout: int, *, bias: bool = True,
+              initializer=xavier_conv_init):
+    """Conv param dict ({'DW': [k,k,cin,cout], 'biases': [cout]})."""
+    p = {"DW": initializer(key, (ksize, ksize, cin, cout))}
+    if bias:
+        p["biases"] = jnp.zeros((cout,), jnp.float32)
+    return p
+
+
+def conv2d(params, x, *, stride: int = 1, dilation: int = 1,
+           compute_dtype=None):
+    """SAME conv (reference _conv at CMPC_model.py:412-417 /
+    _atrous_conv at :419-424).  Accumulates in float32 on the MXU."""
+    w = params["DW"]
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    y = jax.lax.conv_general_dilated(
+        x, w,
+        window_strides=(stride, stride),
+        padding="SAME",
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=DIMS,
+        preferred_element_type=jnp.float32,
+    )
+    if "biases" in params:
+        y = y + params["biases"]
+    return y
+
+
+def dense(params, x, *, compute_dtype=None):
+    """x @ DW + biases for the last axis."""
+    w = params["DW"]
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    y = jnp.matmul(x, w, preferred_element_type=jnp.float32)
+    if "biases" in params:
+        y = y + params["biases"]
+    return y
+
+
+def max_pool(x, ksize: int, stride: int):
+    """SAME max pool (backbone pool1, deeplab_resnet/model.py:22)."""
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, ksize, ksize, 1),
+        window_strides=(1, stride, stride, 1),
+        padding="SAME",
+    )
+
+
+def init_layer_norm(cout: int):
+    """gamma/beta for tf1_layer_norm (last-axis params)."""
+    return {"gamma": jnp.ones((cout,), jnp.float32),
+            "beta": jnp.zeros((cout,), jnp.float32)}
