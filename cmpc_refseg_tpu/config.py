@@ -28,6 +28,7 @@ class ModelConfig:
     vf_dim: int = 2048            # c5 channel count
 
     # --- embedding / dims ---------------------------------------------------
+    res4_blocks: int = 23         # 23 = ResNet-101 (reference backbone)
     vocab_size: int = 12112
     w_emb_dim: int = 1000
     v_emb_dim: int = 1000
@@ -63,6 +64,12 @@ class ModelConfig:
     l2norm_affinity: bool = False  # v6+: l2-normalize affinity inputs
     bbox_head: bool = False       # v5+ driver: YOLO-style detection aux head
     num_anchors: int = 3
+    # BiLSTM sub-variants:
+    #  words source fed downstream: 'fw' (T/T2, CMPCv4_BiLSTM_T_model.py:185
+    #  returns fw as words_feat) or 'merged' (v5_BiLSTM)
+    bilstm_words_source: str = "merged"
+    bilstm_tanh: bool = False       # v5_BiLSTM: tanh before l2norm on merge
+    bilstm_mask_pre_merge: bool = False  # v5_BiLSTM: seq_mask from raw concat
 
     # --- video (CMPC_video/CMPC_video_mm_tgraph_allvec.py) ------------------
     video: bool = False
@@ -136,15 +143,17 @@ VARIANTS = {
     "CMPCv4_model": _BASE.replace(
         levels=("c4", "c5"), decoder="aspp_v3plus",
         loss_weights=(0.8, 0.1, 0.1), is_aug=True),
-    # CMPCv4_BiLSTM_T_model.py — v4 + BiLSTM text encoder
+    # CMPCv4_BiLSTM_T_model.py — v4 + BiLSTM text encoder (fw outputs feed
+    # downstream modules; parser runs on the merged features)
     "CMPCv4_BiLSTM_T_model": _BASE.replace(
         levels=("c4", "c5"), decoder="aspp_v3plus",
-        loss_weights=(0.8, 0.1, 0.1), is_aug=True, text_encoder="bilstm"),
+        loss_weights=(0.8, 0.1, 0.1), is_aug=True, text_encoder="bilstm",
+        bilstm_words_source="fw"),
     # CMPCv4_BiLSTM_T2_model.py — T + double-softmax affinity normalization
     "CMPCv4_BiLSTM_T2_model": _BASE.replace(
         levels=("c4", "c5"), decoder="aspp_v3plus",
         loss_weights=(0.8, 0.1, 0.1), is_aug=True, text_encoder="bilstm",
-        graph_norm="double_softmax"),
+        bilstm_words_source="fw", graph_norm="double_softmax"),
     # CMPCv4_BERT_model.py — precomputed BERT features, bigger dims
     "CMPCv4_BERT_model": _BASE.replace(
         levels=("c4", "c5"), decoder="aspp_v3plus",
@@ -165,13 +174,14 @@ VARIANTS = {
         levels=("c4", "c5"), decoder="aspp_v3plus",
         loss_weights=(0.8, 0.1, 0.1), is_aug=True,
         graph_norm="softmax_mask", text_encoder="bilstm",
-        tanh_lateral=True),
+        tanh_lateral=True, bilstm_tanh=True, bilstm_mask_pre_merge=True),
     # CMPCv5_BiLSTM_HSV_model.py
     "CMPCv5_BiLSTM_HSV_model": _BASE.replace(
         levels=("c4", "c5"), decoder="aspp_v3plus",
         loss_weights=(0.8, 0.1, 0.1), is_aug=True,
         graph_norm="softmax_mask", text_encoder="bilstm",
-        tanh_lateral=True, hsv=True),
+        tanh_lateral=True, bilstm_tanh=True, bilstm_mask_pre_merge=True,
+        hsv=True),
     # CMPCv6_model.py — per-exchanged-feature global vectors + self gate
     "CMPCv6_model": _BASE.replace(
         levels=("c4", "c5"), decoder="aspp_v3plus",

@@ -1,0 +1,143 @@
+"""DeepLab ResNet-101 backbone (output stride 8, atrous res4/res5).
+
+Reference: external/tensorflow-deeplab-resnet/deeplab_resnet/model.py —
+conv1 7x7/2 + pool/2 -> res2 (stride 4) -> res3 (stride 8) -> res4 with
+atrous rate 2 (23 blocks, stride stays 8) -> res5 with atrous rate 4.
+CMPC taps res2b_relu / res3b3_relu / res4b22_relu / res5c_relu
+(CMPC_model.py:73-76, CMPCv4_model.py:85-88).
+
+TPU-native design decisions:
+- The reference always runs backbone BN with frozen statistics
+  (``is_training=False`` at CMPC_model.py:73), and BN beta/gamma are never in
+  the trainable set (train_op filters on 'res*' prefixes, CMPC_model.py:427-432,
+  which excludes 'bn*' variables).  So BN is a per-channel affine CONSTANT:
+  we fold it to scale/offset at conversion time
+  (scale = gamma/sqrt(var+1e-3), offset = beta - mean*scale; slim.batch_norm
+  epsilon=0.001, kaffe/tensorflow/network.py:261-270) and apply it fused with
+  the conv — one multiply-add that XLA fuses into the conv epilogue.
+- Convs run in the configured compute dtype (bfloat16 on TPU) with float32
+  accumulation on the MXU; the folded affine + ReLU stay in the epilogue.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cmpc_refseg_tpu.ops.layers import (DIMS, max_pool, split_stream,
+                                         xavier_conv_init)
+
+def resnet_stages(res4_blocks: int = 23):
+    """Stage spec: (stage, block names, mid, out, stride, dilation).
+    res4_blocks=23 is ResNet-101 (the reference); smaller values give
+    shallower test/ablation backbones with identical topology."""
+    return (
+        ("res2", ("a", "b", "c"), 64, 256, 1, 1),
+        ("res3", ("a", "b1", "b2", "b3"), 128, 512, 2, 1),
+        ("res4", ("a",) + tuple(f"b{i}" for i in range(1, res4_blocks)),
+         256, 1024, 1, 2),
+        ("res5", ("a", "b", "c"), 512, 2048, 1, 4),
+    )
+
+
+def taps_for(stages):
+    """Feature taps exposed to the CMPC heads: c2 = res2b_relu (NOT the stage
+    end, CMPCv4_model.py:88), c3/c4/c5 = last block of res3/res4/res5."""
+    last = {s[0]: s[1][-1] for s in stages}
+    return {
+        "c2": "res2b_relu",
+        "c3": f"res3{last['res3']}_relu",
+        "c4": f"res4{last['res4']}_relu",
+        "c5": f"res5{last['res5']}_relu",
+    }
+
+
+def _init_unit(key, k, cin, cout):
+    """One conv+foldedBN unit: kernel + folded scale/offset."""
+    return {
+        "w": xavier_conv_init(key, (k, k, cin, cout)),
+        "scale": np.ones((cout,), np.float32),
+        "offset": np.zeros((cout,), np.float32),
+    }
+
+
+def init_backbone(key, res4_blocks: int = 23) -> dict:
+    """Parameter pytree for the ResNet DeepLab backbone."""
+    keys = iter(split_stream(key, 512))
+    params = {"conv1": _init_unit(next(keys), 7, 3, 64)}
+    cin = 64
+    for stage, blocks, mid, cout, _, _ in resnet_stages(res4_blocks):
+        for bi, b in enumerate(blocks):
+            bp = {}
+            if bi == 0:
+                bp["branch1"] = _init_unit(next(keys), 1, cin, cout)
+            bp["branch2a"] = _init_unit(next(keys), 1, cin if bi == 0 else cout, mid)
+            bp["branch2b"] = _init_unit(next(keys), 3, mid, mid)
+            bp["branch2c"] = _init_unit(next(keys), 1, mid, cout)
+            params[f"{stage}{b}"] = bp
+        cin = cout
+    return params
+
+
+def _conv_bn(unit, x, *, stride=1, dilation=1, relu=True, compute_dtype=None):
+    w = unit["w"]
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    y = jax.lax.conv_general_dilated(
+        x, w, window_strides=(stride, stride), padding="SAME",
+        rhs_dilation=(dilation, dilation), dimension_numbers=DIMS,
+        preferred_element_type=jnp.float32)
+    y = y * unit["scale"] + unit["offset"]
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    if compute_dtype is not None:
+        y = y.astype(compute_dtype)
+    return y
+
+
+def apply_backbone(params: dict, im: jnp.ndarray, *, compute_dtype=None,
+                   taps=("c2", "c3", "c4", "c5"),
+                   res4_blocks: int = 23) -> dict:
+    """Forward the backbone on mean-subtracted BGR images [B,H,W,3].
+
+    Returns the requested taps as {'c2': [B,H/4,W/4,256], 'c3': [B,H/8,.,512],
+    'c4': [B,H/8,.,1024], 'c5': [B,H/8,.,2048]} (fp32).
+    """
+    x = _conv_bn(params["conv1"], im, stride=2, compute_dtype=compute_dtype)
+    x = max_pool(x, 3, 2)
+
+    outputs = {}
+    stages = resnet_stages(res4_blocks)
+    want = {taps_for(stages)[t]: t for t in taps}
+    for stage, blocks, _, _, stride, dilation in stages:
+        for bi, b in enumerate(blocks):
+            bp = params[f"{stage}{b}"]
+            block_stride = stride if bi == 0 else 1
+            if bi == 0:
+                shortcut = _conv_bn(bp["branch1"], x, stride=block_stride,
+                                    relu=False, compute_dtype=compute_dtype)
+            else:
+                shortcut = x
+            y = _conv_bn(bp["branch2a"], x, stride=block_stride,
+                         compute_dtype=compute_dtype)
+            y = _conv_bn(bp["branch2b"], y, dilation=dilation,
+                         compute_dtype=compute_dtype)
+            y = _conv_bn(bp["branch2c"], y, relu=False,
+                         compute_dtype=compute_dtype)
+            x = jnp.maximum(shortcut + y, 0.0)
+            name = f"{stage}{b}_relu"
+            if name in want:
+                outputs[want[name]] = x.astype(jnp.float32)
+    return outputs
+
+
+def backbone_trainable_filter(path: tuple) -> bool:
+    """True for backbone leaves trained when conv5=True: conv kernels of
+    res3/4/5 only (BN constants and conv1/res2 stay frozen — matches
+    CMPC_model.py:427-432 name filtering, where 'bn*' vars never match the
+    'res*' prefix and slim BN params are excluded)."""
+    top = path[0] if path else ""
+    return (top.startswith(("res3", "res4", "res5"))
+            and path[-1] == "w")

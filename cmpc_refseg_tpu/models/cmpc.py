@@ -1,0 +1,384 @@
+"""CMPC core modules: language parser, mutan fusion, relation-aware spatial
+graph, gated multi-level exchange, ConvLSTM fusion (TGFE).
+
+Reference: CMPC_model.py:144-410 (+ variant deltas, see config.py).
+
+TPU-first redesigns (all mathematically equivalent to the reference):
+
+* The 5 mutan heads (CMPC_model.py:295-328) are ONE wide conv producing
+  [B,H,W,5,C]: a single large MXU matmul instead of 10 small ones.
+* The [HW,HW] adjacency matrix (CMPC_model.py:400-405) is NEVER materialized:
+  ``adj @ X = (W @ V^T) @ X = W @ (V^T @ X)`` by associativity, reducing the
+  graph convolution from O(HW^2 (T+C)) to O(HW T C) — ~80x fewer FLOPs at the
+  reference geometry (HW=1600, T=20, C=1000) and no 1600x1600 intermediate in
+  HBM.
+* All 1x1 convs lower to matmuls on the MXU (XLA does this automatically for
+  NHWC convs with 1x1 kernels).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from cmpc_refseg_tpu.ops.layers import (conv2d, init_conv, init_layer_norm,
+                                         split_stream)
+from cmpc_refseg_tpu.ops.normalization import l2_normalize, tf1_layer_norm
+
+
+# ---------------------------------------------------------------------------
+# Language parser
+# ---------------------------------------------------------------------------
+
+def init_lang_parser(key, cfg):
+    """2x 1x1 conv -> softmax over word types (CMPC_model.py:347-357)."""
+    k1, k2 = split_stream(key, 2)
+    return {
+        "words_parse_1": init_conv(k1, 1, cfg.lang_dim, 500),
+        "words_parse_2": init_conv(k2, 1, 500, cfg.parse_classes),
+    }
+
+
+def apply_lang_parser(params, words_feat, seq_mask):
+    """words_feat [B,1,T,C] -> words_parse [B,1,T,K], masked softmax weights
+    over {Entity, Attribute, Relation, (Action,) Unnecessary}."""
+    x = jax.nn.relu(conv2d(params["words_parse_1"], words_feat))
+    x = conv2d(params["words_parse_2"], x)
+    x = jax.nn.softmax(x, axis=-1)
+    return x * seq_mask
+
+
+def valid_lang_feat(words_parse, words_feat, class_idx):
+    """(sum of given parse classes)-weighted word sum, l2-normalized
+    (valid_lang CMPC_model.py:166-178 with classes (0,1); nec_lang
+    :180-192 with classes (0,1,2) == sum - Unnecessary)."""
+    w = sum(words_parse[:, 0, :, c] for c in class_idx)      # [B,T]
+    feats = words_feat[:, 0]                                  # [B,T,C]
+    pooled = jnp.einsum("bt,btc->bc", w, feats)
+    pooled = l2_normalize(pooled, -1)
+    return pooled[:, None, None, :]                           # [B,1,1,C]
+
+
+# ---------------------------------------------------------------------------
+# Mutan fusion
+# ---------------------------------------------------------------------------
+
+def init_mutan(key, cfg, num_heads: int = 5):
+    """Fused-head mutan params (reference per-head convs
+    vis_trans_/lang_trans_{level}_head{1..5}, CMPC_model.py:295-319; the
+    converter stacks the 5 reference kernels along the output axis)."""
+    k1, k2 = split_stream(key, 2)
+    vin = cfg.v_emb_dim + cfg.spatial_dim
+    return {
+        "vis_trans": init_conv(k1, 1, vin, num_heads * cfg.v_emb_dim),
+        "lang_trans": init_conv(k2, 1, cfg.lang_dim, num_heads * cfg.v_emb_dim),
+    }
+
+
+def apply_mutan(params, lang_feat, spatial_feat, visual_feat,
+                num_heads: int = 5):
+    """Bilinear multimodal fusion (CMPC_model.py:311-328):
+    sum_h tanh(conv_h([vis, spatial])) * tanh(conv_h(lang)), tanh, l2norm."""
+    nh = num_heads
+    b, h, w, _ = visual_feat.shape
+    c = params["vis_trans"]["DW"].shape[-1] // nh
+    vis_in = jnp.concatenate([visual_feat, spatial_feat], axis=-1)
+    vis = jnp.tanh(conv2d(params["vis_trans"], vis_in))       # [B,H,W,5C]
+    lang = jnp.tanh(conv2d(params["lang_trans"], lang_feat))  # [B,1,1,5C]
+    prod = (vis.reshape(b, h, w, nh, c)
+            * lang.reshape(lang.shape[0], 1, 1, nh, c))
+    fused = jnp.tanh(jnp.sum(prod, axis=3))
+    return l2_normalize(fused, -1)
+
+
+# ---------------------------------------------------------------------------
+# Relation-aware spatial graph
+# ---------------------------------------------------------------------------
+
+def init_spa_graph(key, cfg):
+    ks = split_stream(key, 2 + cfg.num_graph_conv)
+    affin_dim = cfg.vw_emb_dim or cfg.v_emb_dim
+    p = {
+        "words_trans": init_conv(ks[0], 1, cfg.lang_dim, affin_dim),
+        "spa_graph_trans2": init_conv(ks[1], 1, cfg.v_emb_dim, affin_dim),
+        "gconv": [],
+    }
+    for i in range(cfg.num_graph_conv):
+        kk = ks[2 + i]
+        p["gconv"].append({
+            "update": init_conv(kk, 1, cfg.v_emb_dim, cfg.v_emb_dim),
+            "feat_ln": init_layer_norm(cfg.v_emb_dim),
+            "update_ln": init_layer_norm(cfg.v_emb_dim),
+        })
+    return p
+
+
+def _graph_conv(gp, x_nodes, w_aff, v_aff):
+    """One graph convolution (CMPC_model.py:359-374) WITHOUT materializing
+    adj = w_aff @ v_aff^T: message = w_aff @ (v_aff^T @ x).
+
+    x_nodes [B,N,C]; w_aff, v_aff [B,N,T].
+    """
+    pooled = jnp.einsum("bnt,bnc->btc", v_aff, x_nodes)       # [B,T,C]
+    msg = jnp.einsum("bnt,btc->bnc", w_aff, pooled)           # [B,N,C]
+    msg = tf1_layer_norm(msg[:, None], gp["feat_ln"]["gamma"],
+                         gp["feat_ln"]["beta"])[:, 0]
+    y = jax.nn.relu(x_nodes + msg)
+    y = conv2d(gp["update"], y[:, None])[:, 0]
+    y = tf1_layer_norm(y[:, None], gp["update_ln"]["gamma"],
+                       gp["update_ln"]["beta"])[:, 0]
+    return jax.nn.relu(y)
+
+
+def apply_spa_graph(params, cfg, spa_graph, words_feat, words_parse, seq_mask):
+    """Spatial graph reasoning (CMPC_model.py:376-410 + variant norms).
+
+    spa_graph [B,H,W,C]; words_feat [B,1,T,Cl]; seq_mask [B,1,T,1].
+    """
+    b, h, w, c = spa_graph.shape
+    t = words_feat.shape[2]
+    affin_dim = cfg.vw_emb_dim or cfg.v_emb_dim
+
+    words_trans = conv2d(params["words_trans"], words_feat)[:, 0]   # [B,T,A]
+    nodes_in = spa_graph.reshape(b, h * w, c)
+    graph_trans = conv2d(params["spa_graph_trans2"],
+                         spa_graph).reshape(b, h * w, affin_dim)
+    if cfg.l2norm_affinity:  # v6+: l2-normalize both projections
+        words_trans = l2_normalize(words_trans, -1)
+        graph_trans = l2_normalize(graph_trans, -1)
+
+    affi = jnp.einsum("bna,bta->bnt", graph_trans, words_trans)
+    affi = affi / (cfg.v_emb_dim ** 0.5)
+    mask = seq_mask[:, :, :, 0]                                      # [B,1,T]
+
+    if cfg.graph_norm == "double_softmax":
+        # T2 (CMPCv4_BiLSTM_T2_model.py): softmax over HW, relation scale,
+        # adj = A @ A^T
+        a = jax.nn.softmax(affi, axis=1)
+        a = words_parse[:, :, :, 2] * a
+        w_aff = v_aff = a
+    else:
+        affi = words_parse[:, :, :, 2] * affi                # relation scale
+        if cfg.graph_norm in ("masked", "unmasked"):
+            # base (CMPC_model.py:389-399).  'unmasked' is the origin model,
+            # whose softmax runs over the SLICED valid words — statically
+            # identical to the masked softmax here.
+            neg = (1.0 - mask) * jnp.finfo(jnp.float32).min
+            w_aff = jax.nn.softmax(mask * affi + neg, axis=2)
+            v_aff = mask * jax.nn.softmax(affi, axis=1)
+        elif cfg.graph_norm == "softmax_mask":
+            # v5/v6+: plain softmax then multiplicative mask
+            w_aff = mask * jax.nn.softmax(affi, axis=2)
+            v_aff = mask * jax.nn.softmax(affi, axis=1)
+        else:
+            raise ValueError(f"unknown graph_norm {cfg.graph_norm!r}")
+
+    x = nodes_in
+    for gp in params["gconv"]:
+        x = _graph_conv(gp, x, w_aff, v_aff)
+    out = l2_normalize(x.reshape(b, h, w, c), -1)
+    return out, (w_aff, v_aff)
+
+
+# ---------------------------------------------------------------------------
+# lang2vis assembly
+# ---------------------------------------------------------------------------
+
+def init_lang2vis(key, cfg):
+    k1, k2, k3, k4 = split_stream(key, 4)
+    p = {
+        "mutan": init_mutan(k1, cfg),
+        "graph": init_spa_graph(k2, cfg),
+    }
+    if cfg.sent_fusion:
+        # v6+ (CMPCv6_plus_model.py:417-433): second mutan replaces concat
+        p["sent_mutan"] = init_mutan(k3, cfg)
+        p["fusion"] = init_conv(k4, 1, cfg.v_emb_dim, cfg.mlp_dim)
+    else:
+        fin = cfg.v_emb_dim * 2 + cfg.lang_dim + cfg.spatial_dim
+        p["fusion"] = init_conv(k4, 1, fin, cfg.mlp_dim)
+    return p
+
+
+def apply_lang2vis(params, cfg, visual_feat, words_feat, words_parse,
+                   seq_mask, spatial):
+    """Per-level cross-modal comprehension (CMPC_model.py:330-345)."""
+    valid = valid_lang_feat(words_parse, words_feat, (0, 1))  # E+A
+    vis_la_sp = apply_mutan(params["mutan"], valid, spatial, visual_feat)
+    graph_feat, gw = apply_spa_graph(params["graph"], cfg, vis_la_sp,
+                                     words_feat, words_parse, seq_mask)
+    if cfg.sent_fusion:
+        nec = valid_lang_feat(
+            words_parse, words_feat,
+            tuple(range(cfg.parse_classes - 1)))              # all but U
+        feat_all = apply_mutan(params["sent_mutan"], nec, spatial, graph_feat)
+    else:
+        b, h, w, _ = visual_feat.shape
+        lang_tiled = jnp.broadcast_to(valid, (b, h, w, valid.shape[-1]))
+        feat_all = jnp.concatenate(
+            [vis_la_sp, graph_feat, lang_tiled, spatial], axis=-1)
+    fusion = jax.nn.relu(conv2d(params["fusion"], feat_all))
+    return fusion, gw
+
+
+# ---------------------------------------------------------------------------
+# Gated exchange (TGFE) + ConvLSTM fusion
+# ---------------------------------------------------------------------------
+
+def _init_gv(key, cfg):
+    """global_vec params (CMPC_model.py:212-243)."""
+    k1, k2, k3 = split_stream(key, 3)
+    return {
+        "spa_graph_key": init_conv(k1, 1, cfg.mlp_dim, cfg.mlp_dim),
+        "lang_query": init_conv(k2, 1, cfg.lang_dim, cfg.mlp_dim),
+        "gv_lang": init_conv(k3, 1, cfg.mlp_dim + cfg.lang_dim, cfg.mlp_dim),
+    }
+
+
+def _apply_gv(p, cfg, feat, lang_feat):
+    """Language-guided attention pooling to a global vector."""
+    b, h, w, c = feat.shape
+    key = conv2d(p["spa_graph_key"], feat).reshape(b, h * w, cfg.mlp_dim)
+    query = conv2d(p["lang_query"], lang_feat).reshape(b, 1, cfg.mlp_dim)
+    attn = jnp.einsum("bnc,bqc->bnq", key, query) / (cfg.mlp_dim ** 0.5)
+    attn = jax.nn.softmax(attn, axis=1)                       # [B,HW,1]
+    pooled = jnp.einsum("bnq,bnc->bqc", attn, feat.reshape(b, h * w, c))
+    gv = jnp.concatenate([pooled.reshape(b, 1, 1, c),
+                          lang_feat], axis=-1)
+    gv = conv2d(p["gv_lang"], gv)
+    # NOTE: reference l2-normalizes over the DEFAULT axis of TF<=1.13
+    # (tf.nn.l2_normalize(x) with no axis = global over all dims,
+    # CMPC_model.py:241); shape is [B,1,1,C] so this is a per-sample global
+    # norm — reproduced here.
+    return l2_normalize(gv, axis=(1, 2, 3))
+
+
+def _init_se(key, cfg):
+    """lang_se params (CMPC_model.py:194-210)."""
+    k1, k2 = split_stream(key, 2)
+    return {
+        "lang_feat": init_conv(k1, 1, cfg.mlp_dim, cfg.mlp_dim),
+        "trans_feat": init_conv(k2, 1, cfg.mlp_dim, cfg.mlp_dim),
+    }
+
+
+def _apply_se(p, feat, gv_lang):
+    gate = jax.nn.sigmoid(conv2d(p["lang_feat"], gv_lang))    # [B,1,1,C]
+    trans = jax.nn.relu(conv2d(p["trans_feat"], feat))
+    return trans * gate
+
+
+def init_exchange(key, cfg, num_others: int):
+    """One gated_exchange_module's params.  Base/v4: one gv on the target
+    feat + one se per other level (CMPC_model.py:245-259).  v6: per-other gv
+    + a self-gate se (CMPCv6_model.py:323-339)."""
+    ks = split_stream(key, 2 + 2 * num_others)
+    p = {"se": [_init_se(ks[i], cfg) for i in range(num_others)]}
+    if cfg.exchange_self_gate:
+        p["gv_each"] = [_init_gv(ks[num_others + i], cfg)
+                        for i in range(num_others)]
+        p["gv_self"] = _init_gv(ks[-2], cfg)
+        p["se_self"] = _init_se(ks[-1], cfg)
+    else:
+        p["gv"] = _init_gv(ks[-1], cfg)
+    return p
+
+
+def apply_exchange(p, cfg, feat, others, lang_feat):
+    if cfg.exchange_self_gate:
+        gv_self = _apply_gv(p["gv_self"], cfg, feat, lang_feat)
+        out = _apply_se(p["se_self"], feat, gv_self)
+        for se, gv_p, other in zip(p["se"], p["gv_each"], others):
+            gv = _apply_gv(gv_p, cfg, other, lang_feat)
+            out = out + _apply_se(se, other, gv)
+    else:
+        gv = _apply_gv(p["gv"], cfg, feat, lang_feat)
+        out = feat
+        for se, other in zip(p["se"], others):
+            out = out + _apply_se(se, other, gv)
+    return out
+
+
+# --- ConvLSTM cell (util/cell.py:3-79: peephole + whole-sample layer norm) --
+
+def init_convlstm(key, cfg):
+    from cmpc_refseg_tpu.ops.layers import glorot_uniform
+    c = cfg.mlp_dim
+    h, w = cfg.vf_h, cfg.vf_w
+    k1, k2, k3, k4 = split_stream(key, 4)
+    return {
+        "kernel": glorot_uniform(k1, (1, 1, 2 * c, 4 * c)),
+        "W_ci": glorot_uniform(k2, (h, w, c)),
+        "W_cf": glorot_uniform(k3, (h, w, c)),
+        "W_co": glorot_uniform(k4, (h, w, c)),
+        # 5 layer_norms in call order: j, i, f, o, c (util/cell.py:52-66)
+        "ln": [init_layer_norm(c) for _ in range(5)],
+    }
+
+
+def convlstm_step(p, x, c, h, *, forget_bias: float = 1.0):
+    """One ConvLSTM step (util/cell.py:36-79).  1x1 kernel => channel matmul.
+    Gate split order is (j, i, f, o); peepholes on i/f use the OLD cell and
+    on o the NEW cell; j/i/f/o/c are all layer-normalized (whole-sample,
+    tf.contrib semantics); normalize=True means no conv bias."""
+    z = jnp.concatenate([x, h], axis=-1)
+    y = jnp.einsum("bhwc,cd->bhwd", z, p["kernel"][0, 0],
+                   preferred_element_type=jnp.float32)
+    j, i, f, o = jnp.split(y, 4, axis=-1)
+    i = i + p["W_ci"] * c
+    f = f + p["W_cf"] * c
+    ln = p["ln"]
+    j = tf1_layer_norm(j, ln[0]["gamma"], ln[0]["beta"])
+    i = tf1_layer_norm(i, ln[1]["gamma"], ln[1]["beta"])
+    f = tf1_layer_norm(f, ln[2]["gamma"], ln[2]["beta"])
+    f = jax.nn.sigmoid(f + forget_bias)
+    i = jax.nn.sigmoid(i)
+    new_c = c * f + i * jnp.tanh(j)
+    o = o + p["W_co"] * new_c
+    o = tf1_layer_norm(o, ln[3]["gamma"], ln[3]["beta"])
+    new_c = tf1_layer_norm(new_c, ln[4]["gamma"], ln[4]["beta"])
+    o = jax.nn.sigmoid(o)
+    new_h = o * jnp.tanh(new_c)
+    return new_c, new_h
+
+
+def init_fusion_stack(key, cfg):
+    """Two rounds of gated exchange over the levels + ConvLSTM fusion
+    (CMPC_model.py:261-293 / CMPCv4_model.py:339-378)."""
+    levels = cfg.levels
+    n_other = len(levels) - 1
+    keys = split_stream(key, 2 * len(levels) + 1)
+    p = {"exchange": {}}
+    idx = 0
+    for rnd in ("", "_2"):
+        for lv in levels:
+            p["exchange"][f"{lv}{rnd}"] = init_exchange(keys[idx], cfg, n_other)
+            idx += 1
+    p["convlstm"] = init_convlstm(keys[-1], cfg)
+    return p
+
+
+def apply_fusion_stack(p, cfg, feats: dict, lang_feat):
+    """feats: {level: [B,H,W,mlp]}; returns fused [B,H,W,mlp].
+
+    The ConvLSTM scans the levels LOW-to-HIGH (c3,c4,c5 stacking order at
+    CMPC_model.py:288-289) and takes the last hidden state.  3 steps —
+    statically unrolled (cheaper than lax.scan at this length).
+    """
+    levels = list(cfg.levels)
+    cur = dict(feats)
+    for rnd in ("", "_2"):
+        nxt = {}
+        for lv in levels:
+            others = [cur[o] for o in levels if o != lv]
+            ex = apply_exchange(p["exchange"][f"{lv}{rnd}"], cfg,
+                                cur[lv], others, lang_feat)
+            nxt[lv] = l2_normalize(ex, -1)
+        cur = nxt
+
+    x0 = cur[levels[0]]
+    c = jnp.zeros_like(x0)
+    h = jnp.zeros_like(x0)
+    for lv in levels:
+        c, h = convlstm_step(p["convlstm"], cur[lv], c, h)
+    return h

@@ -1,0 +1,140 @@
+"""DenseCRF mean-field refinement.
+
+The reference refines eval masks with pydensecrf's C++ DenseCRF2D
+(trainval_model.py:246-259): 2 classes, unary = -log([1-p, p]),
+PairwiseGaussian(sxy=3, compat=3) + PairwiseBilateral(sxy=20, srgb=3,
+rgbim, compat=10), 5 mean-field iterations.
+
+Two implementations here:
+1. `refine_mask` — exact path through our native C++ permutohedral DenseCRF
+   (native/densecrf.cpp via ctypes), matching pydensecrf semantics.
+2. `mean_field_gaussian` — batched on-device JAX mean-field with
+   separable-Gaussian spatial pairwise (no bilateral term): the
+   high-throughput approximation for serving; also the fallback when the
+   native library is absent.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_NATIVE = None
+_NATIVE_TRIED = False
+
+CRF_PARAMS = dict(sxy_gaussian=3.0, compat_gaussian=3.0,
+                  sxy_bilateral=20.0, srgb_bilateral=3.0,
+                  compat_bilateral=10.0, num_iters=5)
+
+
+def _load_native():
+    global _NATIVE, _NATIVE_TRIED
+    if _NATIVE_TRIED:
+        return _NATIVE
+    _NATIVE_TRIED = True
+    here = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    for cand in (os.path.join(here, "native", "libdensecrf.so"),
+                 os.path.join(here, "libdensecrf.so")):
+        if os.path.isfile(cand):
+            lib = ctypes.CDLL(cand)
+            lib.densecrf2d_refine.argtypes = [
+                ctypes.POINTER(ctypes.c_ubyte),   # rgb [H,W,3]
+                ctypes.POINTER(ctypes.c_float),   # prob [H,W] fg probability
+                ctypes.POINTER(ctypes.c_float),   # out  [H,W]
+                ctypes.c_int, ctypes.c_int,       # H, W
+                ctypes.c_float, ctypes.c_float,   # sxy_g, compat_g
+                ctypes.c_float, ctypes.c_float, ctypes.c_float,  # sxy_b, srgb, compat_b
+                ctypes.c_int,                     # iters
+            ]
+            lib.densecrf2d_refine.restype = ctypes.c_int
+            _NATIVE = lib
+            break
+    return _NATIVE
+
+
+def native_available() -> bool:
+    return _load_native() is not None
+
+
+def refine_mask(rgb_image: np.ndarray, fg_prob: np.ndarray,
+                threshold: float = 0.5, **overrides) -> np.ndarray:
+    """Binary refined mask for one image.
+
+    rgb_image uint8 [H,W,3]; fg_prob float [H,W] in (0,1).
+    Uses the native exact DenseCRF when built; otherwise the on-device
+    Gaussian-only approximation."""
+    p = {**CRF_PARAMS, **overrides}
+    h, w = fg_prob.shape
+    rgb = np.ascontiguousarray(rgb_image[:, :, :3], dtype=np.uint8)
+    prob = np.ascontiguousarray(fg_prob, dtype=np.float32)
+    lib = _load_native()
+    if lib is not None:
+        out = np.empty((h, w), dtype=np.float32)
+        rc = lib.densecrf2d_refine(
+            rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            prob.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            h, w,
+            p["sxy_gaussian"], p["compat_gaussian"],
+            p["sxy_bilateral"], p["srgb_bilateral"], p["compat_bilateral"],
+            p["num_iters"])
+        if rc == 0:
+            return out > threshold
+    q = mean_field_gaussian(jnp.asarray(prob)[None], num_iters=p["num_iters"],
+                            sxy=p["sxy_gaussian"],
+                            compat=p["compat_gaussian"]
+                            + p["compat_bilateral"] * 0.3)
+    return np.asarray(q)[0] > threshold
+
+
+# ---------------------------------------------------------------------------
+# on-device approximation
+# ---------------------------------------------------------------------------
+
+def _gaussian_kernel1d(sigma: float, radius: int) -> np.ndarray:
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    k[radius] = 0.0   # DenseCRF excludes self-connection
+    return k.astype(np.float32)
+
+
+@partial(jax.jit, static_argnames=("num_iters", "sxy"))
+def mean_field_gaussian(fg_prob: jnp.ndarray, *, num_iters: int = 5,
+                        sxy: float = 3.0, compat: float = 3.0) -> jnp.ndarray:
+    """Batched binary mean-field CRF with a separable Gaussian spatial kernel
+    (no color term).  fg_prob [B,H,W] -> refined fg probability [B,H,W].
+
+    Two separable 1-D convolutions per iteration: VPU/HBM-friendly, fully
+    batched — the TPU-serving analogue of the reference's per-image C++ CRF.
+    """
+    radius = max(1, int(2 * sxy))
+    k = jnp.asarray(_gaussian_kernel1d(sxy, radius))
+    unary_fg = -jnp.log(jnp.clip(fg_prob, 1e-8, 1.0))
+    unary_bg = -jnp.log(jnp.clip(1.0 - fg_prob, 1e-8, 1.0))
+
+    def blur(q):  # separable spatial filtering of [B,H,W]
+        qh = jax.vmap(lambda img: jnp.apply_along_axis(
+            lambda row: jnp.convolve(row, k, mode="same"), 0, img))(q)
+        qw = jax.vmap(lambda img: jnp.apply_along_axis(
+            lambda row: jnp.convolve(row, k, mode="same"), 1, img))(qh)
+        return qw
+
+    q_fg = fg_prob
+    for _ in range(num_iters):
+        q_bg = 1.0 - q_fg
+        msg_fg = blur(q_fg)
+        msg_bg = blur(q_bg)
+        # Potts: label l is penalized by mass of the OTHER label
+        logit_fg = -unary_fg - compat * msg_bg
+        logit_bg = -unary_bg - compat * msg_fg
+        m = jnp.maximum(logit_fg, logit_bg)
+        e_fg = jnp.exp(logit_fg - m)
+        e_bg = jnp.exp(logit_bg - m)
+        q_fg = e_fg / (e_fg + e_bg)
+    return q_fg

@@ -16,26 +16,59 @@ import numpy as np
 DIMS = ("NHWC", "HWIO", "NHWC")
 
 
-def xavier_conv_init(key, shape, dtype=jnp.float32):
+class InitStream:
+    """Host-side deterministic key stream for parameter init.
+
+    Init is 100%% numpy: dispatching hundreds of tiny jax ops (zeros/ones/
+    random/split, one XLA compile per distinct shape) costs minutes of wall
+    clock on a small host, while numpy is instant and equally deterministic.
+    Accepts a JAX PRNGKey (or int) at the root for API compatibility.
+    """
+
+    def __init__(self, seed):
+        if isinstance(seed, np.random.SeedSequence):
+            self.ss = seed
+        elif isinstance(seed, int):
+            self.ss = np.random.SeedSequence(seed)
+        else:  # JAX PRNGKey (old uint32 vector or new typed key)
+            data = np.asarray(jax.random.key_data(seed)).ravel()
+            self.ss = np.random.SeedSequence([int(x) for x in data])
+
+    def split(self, n: int):
+        return [InitStream(c) for c in self.ss.spawn(n)]
+
+    def rng(self) -> np.random.Generator:
+        return np.random.default_rng(self.ss.spawn(1)[0])
+
+
+def as_stream(key) -> InitStream:
+    return key if isinstance(key, InitStream) else InitStream(key)
+
+
+def split_stream(key, n: int):
+    return as_stream(key).split(n)
+
+
+def xavier_conv_init(key, shape, dtype=np.float32):
     """`tf.contrib.layers.xavier_initializer_conv2d` parity (glorot uniform
     with receptive-field-scaled fans)."""
     kh, kw, cin, cout = shape
     fan_in = kh * kw * cin
     fan_out = kh * kw * cout
     limit = float(np.sqrt(6.0 / (fan_in + fan_out)))
-    return jax.random.uniform(key, shape, dtype, -limit, limit)
+    return as_stream(key).rng().uniform(-limit, limit, shape).astype(dtype)
 
 
-def glorot_uniform(key, shape, dtype=jnp.float32):
+def glorot_uniform(key, shape, dtype=np.float32):
     """TF1 `get_variable` default initializer for >=2D variables."""
     fan_in = int(np.prod(shape[:-1]))
     fan_out = int(shape[-1])
     limit = float(np.sqrt(6.0 / (fan_in + fan_out)))
-    return jax.random.uniform(key, shape, dtype, -limit, limit)
+    return as_stream(key).rng().uniform(-limit, limit, shape).astype(dtype)
 
 
-def normal_init(key, shape, stddev=0.01, dtype=jnp.float32):
-    return stddev * jax.random.normal(key, shape, dtype)
+def normal_init(key, shape, stddev=0.01, dtype=np.float32):
+    return (stddev * as_stream(key).rng().standard_normal(shape)).astype(dtype)
 
 
 def init_conv(key, ksize: int, cin: int, cout: int, *, bias: bool = True,
@@ -43,7 +76,7 @@ def init_conv(key, ksize: int, cin: int, cout: int, *, bias: bool = True,
     """Conv param dict ({'DW': [k,k,cin,cout], 'biases': [cout]})."""
     p = {"DW": initializer(key, (ksize, ksize, cin, cout))}
     if bias:
-        p["biases"] = jnp.zeros((cout,), jnp.float32)
+        p["biases"] = np.zeros((cout,), np.float32)
     return p
 
 
@@ -92,5 +125,5 @@ def max_pool(x, ksize: int, stride: int):
 
 def init_layer_norm(cout: int):
     """gamma/beta for tf1_layer_norm (last-axis params)."""
-    return {"gamma": jnp.ones((cout,), jnp.float32),
-            "beta": jnp.zeros((cout,), jnp.float32)}
+    return {"gamma": np.ones((cout,), np.float32),
+            "beta": np.zeros((cout,), np.float32)}

@@ -1,0 +1,154 @@
+"""Data-parallel trainer.
+
+Replaces the reference train loop (trainval_model.py:19-147): instead of a
+Python loop assembling feed_dicts for one GPU, the step is a pure jitted
+function over the GLOBAL batch; batch arrays are sharded over the mesh's
+'data' axis and params are replicated, so GSPMD emits the gradient
+all-reduce over ICI automatically.  The host thread overlaps input decode
+with the device step (async dispatch).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cmpc_refseg_tpu.config import ModelConfig
+from cmpc_refseg_tpu.data.image import IMAGE_MEAN_BGR
+from cmpc_refseg_tpu.models.model import apply_model, compute_loss, init_model
+from cmpc_refseg_tpu.train.optimizer import (make_optimizer, merge_params,
+                                             partition_params, polynomial_lr)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    """Full training state (a pytree; orbax-checkpointable)."""
+    trainable: Any
+    frozen: Any
+    model_state: Any          # BN moving stats
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def create_train_state(key, cfg: ModelConfig, glove=None) -> TrainState:
+    params, model_state = init_model(key, cfg, glove)
+    trainable, frozen = partition_params(params, cfg)
+    opt = make_optimizer(cfg)
+    opt_state = opt.init(trainable)
+    return TrainState(trainable=trainable, frozen=frozen,
+                      model_state=model_state, opt_state=opt_state,
+                      step=jnp.zeros((), jnp.int32))
+
+
+def brightness_aug(key, im: jnp.ndarray, max_delta: float = 0.2) -> jnp.ndarray:
+    """`tf.image.random_brightness(im, 0.2)` parity (CMPCv4_model.py:83-84):
+    one uniform delta added to the whole batch tensor.  (On the reference's
+    0..255-scale inputs this is nearly a no-op; reproduced for parity.)"""
+    delta = jax.random.uniform(key, (), minval=-max_delta, maxval=max_delta)
+    return im + delta
+
+
+def make_train_step(cfg: ModelConfig) -> Callable:
+    """Returns jitted (state, batch) -> (state, metrics).
+
+    batch: {'im' [B,H,W,3] f32 BGR-mean-sub, 'target' [B,H,W,1] f32,
+    text fields per encoder}.  B is the GLOBAL batch.
+    """
+    opt = make_optimizer(cfg)
+
+    def loss_fn(trainable, frozen, model_state, batch, rng):
+        params = merge_params(trainable, frozen)
+        b = dict(batch)
+        if cfg.is_aug:
+            b["im"] = brightness_aug(rng, b["im"])
+        outputs, new_model_state = apply_model(params, model_state, cfg, b,
+                                               train=True)
+        total, metrics = compute_loss(outputs, b["target"], cfg, params)
+        # on-graph batch mIoU summary (CMPC_model.py:486-490)
+        pred = outputs.up > 0
+        labl = b["target"] > 0
+        inter = jnp.sum(jnp.logical_and(pred, labl), axis=(1, 2, 3))
+        union = jnp.sum(jnp.logical_or(pred, labl), axis=(1, 2, 3))
+        metrics["train_mIoU"] = jnp.mean(inter / jnp.maximum(union, 1))
+        return total, (metrics, new_model_state)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch: dict):
+        rng = jax.random.fold_in(jax.random.PRNGKey(42), state.step)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (metrics, new_model_state)), grads = grad_fn(
+            state.trainable, state.frozen, state.model_state, batch, rng)
+        updates, new_opt_state = opt.update(grads, state.opt_state,
+                                            state.trainable)
+        new_trainable = jax.tree.map(lambda p, u: p + u, state.trainable,
+                                     updates)
+        metrics["learning_rate"] = polynomial_lr(cfg)(state.step)
+        new_state = TrainState(
+            trainable=new_trainable, frozen=state.frozen,
+            model_state=new_model_state, opt_state=new_opt_state,
+            step=state.step + 1)
+        return new_state, metrics
+
+    return train_step
+
+
+def prepare_image_batch(collated: dict, cfg: ModelConfig) -> dict:
+    """Host-side final packing (trainval_model.py:83-96): uint8 RGB ->
+    float32 BGR - mean; bool mask -> float target; int32 text."""
+    im = collated["im_batch"].astype(np.float32)
+    im = im[..., ::-1] - IMAGE_MEAN_BGR     # RGB -> BGR, mean-subtract
+    out = {
+        "im": im,
+        "target": collated["mask_batch"].astype(np.float32)[..., None],
+        "words": collated["text_batch"].astype(np.int32),
+    }
+    if "seq_length" in collated:
+        out["seq_len"] = collated["seq_length"].astype(np.int32).reshape(-1)
+    return out
+
+
+def train_loop(cfg: ModelConfig, reader, *, max_iter: int, mesh=None,
+               state: Optional[TrainState] = None, glove=None,
+               log_every: int = 100, snapshot_every: int = 0,
+               checkpoint_dir: Optional[str] = None, logger=None,
+               start_iter: int = 0, seed: int = 0):
+    """End-to-end training (trainval_model.py train(), TPU-native).
+
+    `reader` must provide read_collated(batch_size) -> dict of stacked
+    arrays.  With a mesh, batch arrays are sharded over 'data'.
+    """
+    from cmpc_refseg_tpu.parallel.mesh import shard_batch
+    from cmpc_refseg_tpu.utils.moving_average import MovingAverage
+
+    if state is None:
+        state = create_train_state(jax.random.PRNGKey(seed), cfg, glove)
+    step_fn = make_train_step(cfg)
+    time_avg = MovingAverage(100)
+    last = time.time()
+
+    for it in range(start_iter, max_iter):
+        collated = reader.read_collated(cfg.batch_size)
+        batch = prepare_image_batch(collated, cfg)
+        if mesh is not None:
+            batch = shard_batch(batch, mesh)
+        state, metrics = step_fn(state, batch)
+
+        now = time.time()
+        time_avg.add(now - last)
+        last = now
+        if logger is not None and (it % log_every == 0):
+            metrics = {k: float(v) for k, v in metrics.items()}
+            metrics["step_time_s"] = time_avg.get()
+            logger.log(it, metrics)
+        if (checkpoint_dir and snapshot_every
+                and (it + 1) % snapshot_every == 0):
+            from cmpc_refseg_tpu.train.checkpoint import save_checkpoint
+            save_checkpoint(checkpoint_dir, state, it + 1)
+    return state

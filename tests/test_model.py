@@ -1,0 +1,145 @@
+"""Forward/loss/grad tests across the model-variant matrix.
+
+Tiny geometry (H=W=32, res4_blocks=2) keeps CPU tracing fast while exercising
+every architectural branch of the config space (SURVEY.md section 2.2 parity
+matrix)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cmpc_refseg_tpu.config import get_config, VARIANTS
+from cmpc_refseg_tpu.models.model import (apply_model, compute_loss,
+                                          init_model, rgb_to_hsv)
+
+TINY = dict(H=32, W=32, num_steps=6, vocab_size=30, glove_dim=8,
+            rnn_size=16, v_emb_dim=16, mlp_dim=12, batch_size=2,
+            res4_blocks=2, bert_dim=16)
+
+
+def make_batch(cfg, rng, frontpad=False):
+    b, t = cfg.batch_size, cfg.num_steps
+    batch = {"im": jnp.asarray(
+        rng.standard_normal((b, cfg.H, cfg.W, 3)), jnp.float32)}
+    if cfg.text_encoder == "bert":
+        batch["words_feat"] = jnp.asarray(
+            rng.standard_normal((b, t, cfg.bert_dim)), jnp.float32)
+        mask = np.zeros((b, t), np.float32)
+        mask[0, :3] = 1
+        mask[1, :2] = 1
+        batch["sequence_mask"] = jnp.asarray(mask)
+    elif frontpad:
+        words = np.zeros((b, t), np.int32)
+        words[0, -3:] = [3, 4, 5]
+        words[1, -2:] = [6, 7]
+        batch["words"] = jnp.asarray(words)
+        batch["valid_idx"] = jnp.asarray([[t - 3], [t - 2]], jnp.int32)
+    else:
+        words = np.zeros((b, t), np.int32)
+        words[0, :3] = [3, 4, 5]
+        words[1, :2] = [6, 7]
+        batch["words"] = jnp.asarray(words)
+        batch["seq_len"] = jnp.asarray([3, 2], jnp.int32)
+    return batch
+
+
+# image variants only here (video handled separately)
+IMAGE_VARIANTS = [n for n, c in VARIANTS.items() if not c.video]
+
+
+@pytest.mark.parametrize("name", IMAGE_VARIANTS)
+def test_variant_forward_shapes(name, rng):
+    cfg = get_config(name, **TINY)
+    if cfg.text_encoder == "bert":
+        cfg = cfg.replace(rnn_size=16, v_emb_dim=16, mlp_dim=12, vw_emb_dim=8)
+    params, state = init_model(jax.random.PRNGKey(0), cfg)
+    batch = make_batch(cfg, rng, frontpad=(cfg.text_encoder == "lstm_frontpad"))
+    fwd = jax.jit(lambda p, s, b: apply_model(p, s, cfg, b, train=False))
+    out, _ = fwd(params, state, batch)
+
+    b, H, W = cfg.batch_size, cfg.H, cfg.W
+    assert out.up.shape == (b, H, W, 1)
+    assert out.sigm.shape == (b, H, W, 1)
+    assert out.words_parse.shape == (b, 1, cfg.num_steps, cfg.parse_classes)
+    for lv in cfg.levels:
+        assert out.up_levels[lv].shape == (b, H, W, 1)
+    if cfg.decoder == "multiscore":
+        assert out.pred.shape == (b, H // 8, W // 8, 1)
+    else:  # v3+ decoder emits at c2 resolution
+        assert out.pred.shape == (b, H // 4, W // 4, 1)
+    assert np.all(np.isfinite(np.asarray(out.up)))
+    # parse rows at pad positions must be zero (seq-mask)
+    parse = np.asarray(out.words_parse)
+    assert np.abs(parse[0, 0, 4:]).max() < 1e-6  # sample 0 has 3 words
+
+
+def test_loss_and_grad_base(rng):
+    cfg = get_config("CMPC_model", **TINY)
+    params, state = init_model(jax.random.PRNGKey(0), cfg)
+    batch = make_batch(cfg, rng)
+    target = jnp.asarray(
+        (rng.random((2, cfg.H, cfg.W, 1)) > 0.5).astype(np.float32))
+
+    def loss_fn(p):
+        out, _ = apply_model(p, state, cfg, batch, train=True)
+        total, _ = compute_loss(out, target, cfg, p)
+        return total
+
+    head = {k: v for k, v in params.items() if k != "backbone"}
+
+    def loss_head(h):
+        return loss_fn({**params, **h})
+
+    grads = jax.jit(jax.grad(loss_head))(head)
+    gnorm = jax.tree.reduce(
+        lambda a, x: a + float(jnp.sum(jnp.abs(x))), grads, 0.0)
+    assert np.isfinite(gnorm) and gnorm > 0
+    # every head param group must receive gradient signal
+    emb_g = grads["text"]["embedding"]
+    assert float(jnp.abs(emb_g).sum()) > 0
+    assert float(jnp.abs(grads["fusion_stack"]["convlstm"]["kernel"]).sum()) > 0
+
+
+def test_frontpad_equals_backpad(rng):
+    """Origin front-padding is exactly the back-padded computation after the
+    static roll (language.py _normalize_tokens)."""
+    cfg = get_config("CMPC_model", **TINY)
+    params, state = init_model(jax.random.PRNGKey(1), cfg)
+    back = make_batch(cfg, rng)
+    t = cfg.num_steps
+    words_f = np.zeros((2, t), np.int32)
+    words_f[0, -3:] = [3, 4, 5]
+    words_f[1, -2:] = [6, 7]
+    front = dict(back)
+    del front["seq_len"]
+    front["words"] = jnp.asarray(words_f)
+    front["valid_idx"] = jnp.asarray([[t - 3], [t - 2]], jnp.int32)
+
+    out_b, _ = apply_model(params, state, cfg, back)
+    out_f, _ = apply_model(params, state, cfg, front)
+    np.testing.assert_allclose(np.asarray(out_b.up), np.asarray(out_f.up),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_rgb_to_hsv_matches_colorsys(rng):
+    import colorsys
+    vals = rng.random((20, 3)).astype(np.float32)
+    got = np.asarray(rgb_to_hsv(jnp.asarray(vals)))
+    for k in range(20):
+        h, s, v = colorsys.rgb_to_hsv(*vals[k])
+        np.testing.assert_allclose(got[k], [h, s, v], rtol=1e-4, atol=1e-5)
+
+
+def test_batch_independence(rng):
+    """Per-sample semantics: sample 0's output must not depend on sample 1
+    (guards the per-sample l2 norms and whole-sample layer norms)."""
+    cfg = get_config("CMPC_model", **TINY)
+    params, state = init_model(jax.random.PRNGKey(0), cfg)
+    b1 = make_batch(cfg, rng)
+    b2 = {k: v.copy() for k, v in b1.items()}
+    b2["im"] = b2["im"].at[1].set(jnp.flip(b2["im"][1], axis=0))
+    out1, _ = apply_model(params, state, cfg, b1)
+    out2, _ = apply_model(params, state, cfg, b2)
+    np.testing.assert_allclose(np.asarray(out1.up[0]), np.asarray(out2.up[0]),
+                               rtol=1e-5, atol=1e-6)
