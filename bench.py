@@ -1,0 +1,99 @@
+"""Benchmark: flagship CMPC_model 320x320 inference throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": "masks_per_sec_per_chip", "value": N, "unit": "masks/s",
+   "vs_baseline": N / 25.0, ...}
+
+Baseline normalization: the reference publishes no throughput (SURVEY.md
+section 6).  BASELINE.md's target is ">5x reference GPU images/sec"; the
+reference stack is TF-1.5-era single-GPU at batch size 1, for which ~5
+images/sec is a generous estimate for this model (ResNet-101 @ 320x320 +
+CMPC head + feed_dict overhead).  We therefore normalize vs_baseline
+against 25 masks/sec (= 5 img/s x 5).  Also reports train steps/sec as a
+secondary metric in the same JSON object.
+"""
+
+import json
+import time
+
+import numpy as np
+
+ASSUMED_BASELINE_MASKS_PER_SEC = 25.0
+
+
+def main():
+    import jax
+    from cmpc_refseg_tpu.config import get_config
+    from cmpc_refseg_tpu.models.model import apply_model, init_model
+    from cmpc_refseg_tpu.train.trainer import create_train_state, make_train_step
+
+    on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    batch = 8 if on_tpu else 1
+    cfg = get_config("CMPC_model", batch_size=batch,
+                     compute_dtype="bfloat16" if on_tpu else "float32")
+
+    rng = np.random.default_rng(0)
+    words = np.zeros((batch, cfg.num_steps), np.int32)
+    words[:, :4] = rng.integers(3, 30, (batch, 4))
+    feed = {
+        "im": rng.standard_normal((batch, cfg.H, cfg.W, 3)).astype(np.float32),
+        "words": words,
+        "seq_len": np.full((batch,), 4, np.int32),
+    }
+
+    params, state = init_model(jax.random.PRNGKey(0), cfg)
+
+    @jax.jit
+    def forward(params, state, b):
+        outputs, _ = apply_model(params, state, cfg, b, train=False)
+        return outputs.sigm
+
+    # warmup/compile
+    out = forward(params, state, feed)
+    jax.block_until_ready(out)
+
+    iters = 30 if on_tpu else 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = forward(params, state, feed)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    masks_per_sec = batch * iters / dt
+
+    # train step throughput (same chip)
+    train_metrics = {}
+    try:
+        tstate = create_train_state(jax.random.PRNGKey(0), cfg)
+        step_fn = make_train_step(cfg)
+        tb = dict(feed)
+        tb["target"] = (rng.random((batch, cfg.H, cfg.W, 1)) > 0.7
+                        ).astype(np.float32)
+        tstate, m = step_fn(tstate, tb)
+        jax.block_until_ready(tstate.step)
+        titers = 10 if on_tpu else 1
+        t0 = time.perf_counter()
+        for _ in range(titers):
+            tstate, m = step_fn(tstate, tb)
+        jax.block_until_ready(tstate.step)
+        tdt = time.perf_counter() - t0
+        train_metrics = {
+            "train_steps_per_sec": titers / tdt,
+            "train_images_per_sec": batch * titers / tdt,
+        }
+    except Exception as e:  # keep the primary metric alive regardless
+        train_metrics = {"train_bench_error": str(e)[:120]}
+
+    result = {
+        "metric": "masks_per_sec_per_chip",
+        "value": round(masks_per_sec, 3),
+        "unit": "masks/s (320x320, bs=%d, %s)" % (
+            batch, "bf16" if on_tpu else "f32"),
+        "vs_baseline": round(masks_per_sec / ASSUMED_BASELINE_MASKS_PER_SEC, 3),
+    }
+    result.update({k: (round(v, 4) if isinstance(v, float) else v)
+                   for k, v in train_metrics.items()})
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,133 @@
+"""YouTube-VOS / RefVOS full-set inference (reference: test.py).
+
+Iterates meta_expressions.json videos -> expressions -> frames
+(test.py:237-250), tokenizes each expression (:267), runs the model,
+thresholds the sigmoid at `threshold` (default 0.5, :419), writes PNG masks
+at half resolution x255 (:307-308) via the async save worker (:249,329).
+Optional DenseCRF refinement (:309-322).
+
+TPU-native upgrade over the reference's frame-at-a-time sess.run: frames of
+one expression are processed in fixed-size batches through one jitted
+forward (pad the tail), keeping the chip fed.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def iter_video_expressions(meta_path: str):
+    with open(meta_path) as f:
+        meta = json.load(f)["videos"]
+    for vid in sorted(meta.keys()):
+        vdata = meta[vid]
+        for eid in sorted(vdata["expressions"].keys()):
+            yield vid, eid, vdata["expressions"][eid]["exp"], vdata["frames"]
+
+
+def run_inference(cfg, params, model_state, *, meta_path: str, im_dir: str,
+                  out_dir: str, vocab_path: str, threshold: float = 0.5,
+                  use_crf: bool = False, frame_batch: int = 8,
+                  half_resolution: bool = True, max_expressions=None):
+    import jax
+    from cmpc_refseg_tpu.data.image import (IMAGE_MEAN_BGR, resize_and_crop,
+                                            resize_and_pad)
+    from cmpc_refseg_tpu.data.text import (load_vocab_dict_from_file,
+                                           preprocess_sentence_lstm)
+    from cmpc_refseg_tpu.models.model import apply_model
+    from cmpc_refseg_tpu.utils.save_image_worker import SaveImageWorker
+    from PIL import Image
+
+    vocab = load_vocab_dict_from_file(vocab_path)
+    saver = SaveImageWorker()
+    fwd = jax.jit(lambda p, s, b: apply_model(p, s, cfg, b)[0].sigm)
+
+    n_expr = 0
+    for vid, eid, exp, frames in iter_video_expressions(meta_path):
+        if max_expressions is not None and n_expr >= max_expressions:
+            break
+        n_expr += 1
+        tokens, seq_len = preprocess_sentence_lstm(exp, vocab, cfg.num_steps)
+        tokens = np.asarray(tokens, np.int32)
+
+        for start in range(0, len(frames), frame_batch):
+            chunk = frames[start:start + frame_batch]
+            ims, natives = [], []
+            for frame in chunk:
+                with Image.open(os.path.join(im_dir, vid,
+                                             f"{frame}.jpg")) as img:
+                    native = np.asarray(img.convert("RGB"))
+                natives.append(native)
+                im = resize_and_pad(native.astype(np.float32), cfg.H, cfg.W)
+                ims.append(im[..., ::-1] - IMAGE_MEAN_BGR)
+            pad = frame_batch - len(chunk)
+            ims += [np.zeros_like(ims[0])] * pad
+            batch = {
+                "im": np.stack(ims).astype(np.float32),
+                "words": np.tile(tokens[None], (frame_batch, 1)),
+                "seq_len": np.full((frame_batch,), seq_len, np.int32),
+            }
+            sigm = np.asarray(fwd(params, model_state, batch))[:, :, :, 0]
+            for k, frame in enumerate(chunk):
+                native = natives[k]
+                oh, ow = native.shape[:2]
+                if half_resolution:
+                    oh, ow = oh // 2, ow // 2
+                prob = resize_and_crop(sigm[k], oh, ow)
+                if use_crf:
+                    from cmpc_refseg_tpu.ops.densecrf import refine_mask
+                    native_res = native if not half_resolution else np.asarray(
+                        Image.fromarray(native).resize((ow, oh)))
+                    mask = refine_mask(native_res, prob, threshold)
+                else:
+                    mask = prob > threshold
+                saver.save_image(
+                    os.path.join(out_dir, vid, eid, f"{frame}.png"),
+                    mask.astype(np.uint8) * 255)
+    saver.flush()
+    return n_expr
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser("cmpc_refseg_tpu YouTube-VOS inference")
+    ap.add_argument("-n", dest="model_name", default="CMPC_model")
+    ap.add_argument("-meta", dest="meta", required=True)
+    ap.add_argument("-im_dir", dest="im_dir", required=True)
+    ap.add_argument("-out", dest="out_dir", required=True)
+    ap.add_argument("-vocab", dest="vocab", required=True)
+    ap.add_argument("-ckpt_dir", dest="ckpt_dir", default="./checkpoints")
+    ap.add_argument("-threshold", type=float, default=0.5)
+    ap.add_argument("-c", dest="use_crf", action="store_true")
+    ap.add_argument("-full_res", dest="full_res", action="store_true")
+    ap.add_argument("-emb", dest="emb_name", default="refvos")
+    ap.add_argument("-emb_dir", dest="emb_dir", default="data")
+    args = ap.parse_args(argv)
+
+    import jax
+    from cmpc_refseg_tpu.cli import load_glove
+    from cmpc_refseg_tpu.config import get_config
+    from cmpc_refseg_tpu.train.checkpoint import restore_checkpoint
+    from cmpc_refseg_tpu.train.optimizer import merge_params
+    from cmpc_refseg_tpu.train.trainer import create_train_state
+
+    on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    cfg = get_config(args.model_name, batch_size=8,
+                     compute_dtype="bfloat16" if on_tpu else "float32")
+    glove = load_glove(args.emb_dir, args.emb_name)
+    state = create_train_state(jax.random.PRNGKey(0), cfg, glove)
+    state = restore_checkpoint(args.ckpt_dir, state)
+    params = merge_params(state.trainable, state.frozen)
+    n = run_inference(cfg, params, state.model_state, meta_path=args.meta,
+                      im_dir=args.im_dir, out_dir=args.out_dir,
+                      vocab_path=args.vocab, threshold=args.threshold,
+                      use_crf=args.use_crf,
+                      half_resolution=not args.full_res)
+    print(f"done: {n} expressions")
+
+
+if __name__ == "__main__":
+    main()

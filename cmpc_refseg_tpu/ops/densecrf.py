@@ -115,21 +115,33 @@ def mean_field_gaussian(fg_prob: jnp.ndarray, *, num_iters: int = 5,
     """
     radius = max(1, int(2 * sxy))
     k = jnp.asarray(_gaussian_kernel1d(sxy, radius))
+    # separable blur kernel INCLUDING self for the normalizer (matching the
+    # lattice semantics); message blur excludes self via subtraction below
+    k_full = k.at[radius].set(1.0)
     unary_fg = -jnp.log(jnp.clip(fg_prob, 1e-8, 1.0))
     unary_bg = -jnp.log(jnp.clip(1.0 - fg_prob, 1e-8, 1.0))
 
-    def blur(q):  # separable spatial filtering of [B,H,W]
+    def blur(q, kern):  # separable spatial filtering of [B,H,W]
         qh = jax.vmap(lambda img: jnp.apply_along_axis(
-            lambda row: jnp.convolve(row, k, mode="same"), 0, img))(q)
+            lambda row: jnp.convolve(row, kern, mode="same"), 0, img))(q)
         qw = jax.vmap(lambda img: jnp.apply_along_axis(
-            lambda row: jnp.convolve(row, k, mode="same"), 1, img))(qh)
+            lambda row: jnp.convolve(row, kern, mode="same"), 1, img))(qh)
         return qw
+
+    # symmetric kernel normalization (densecrf v2: norm = 1/sqrt(K 1),
+    # message = norm * K(norm * Q)) — without it messages scale with the
+    # kernel mass (~(2*sum k)^2) and crush the unaries
+    ones = jnp.ones_like(fg_prob)
+    norm = jnp.reciprocal(jnp.sqrt(blur(ones, k_full) + 1e-20))
+
+    def message(q):
+        return norm * blur(norm * q, k_full) - (norm ** 2) * q  # self-excl.
 
     q_fg = fg_prob
     for _ in range(num_iters):
         q_bg = 1.0 - q_fg
-        msg_fg = blur(q_fg)
-        msg_bg = blur(q_bg)
+        msg_fg = message(q_fg)
+        msg_bg = message(q_bg)
         # Potts: label l is penalized by mass of the OTHER label
         logit_fg = -unary_fg - compat * msg_bg
         logit_bg = -unary_bg - compat * msg_fg

@@ -1,0 +1,182 @@
+"""TF-1.x checkpoint -> cmpc_refseg_tpu params converter.
+
+Maps the reference's variable names to our pytree:
+- backbone (caffe names, kaffe/tensorflow/network.py): '<conv>/weights' +
+  'bn<suffix>/{gamma,beta,moving_mean,moving_variance}' -> conv kernel +
+  FOLDED scale/offset (slim BN eps=1e-3, see models/backbone.py docstring);
+- head ('text_objseg/...'): '<scope>/DW' + '<scope>/biases'
+  (CMPC_model.py:412-417), LSTM 'rnn/lstm_cell/{kernel,bias}', embedding
+  'Variable', ConvLSTM 'rnn/conv_lstm_cell/{kernel,W_ci,W_cf,W_co}' +
+  'LayerNorm{,_1..4}/{gamma,beta}' in creation order (j,i,f,o,c —
+  util/cell.py:52-66), mutan heads stacked into the fused conv.
+
+Usage:
+  python tools/convert_tf_checkpoint.py --ckpt /path/model.ckpt-700000 \
+      --model CMPC_model --out params.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+BN_EPS = 1e-3   # slim.batch_norm default epsilon in the vendored backbone
+
+
+def fold_bn(gamma, beta, mean, var, eps=BN_EPS):
+    scale = gamma / np.sqrt(var + eps)
+    offset = beta - mean * scale
+    return scale.astype(np.float32), offset.astype(np.float32)
+
+
+def bn_name_for(conv_name: str) -> str:
+    """caffe conv name -> BN scope (deeplab_resnet/model.py: res2a_branch1 ->
+    bn2a_branch1; conv1 -> bn_conv1)."""
+    if conv_name == "conv1":
+        return "bn_conv1"
+    assert conv_name.startswith("res")
+    return "bn" + conv_name[len("res"):]
+
+
+def convert_backbone(reader, get, params_bb):
+    """Fill backbone params in place from a TF checkpoint reader."""
+    from cmpc_refseg_tpu.models.backbone import resnet_stages
+    blocks = {"conv1": ["conv1"]}
+    for name in params_bb:
+        if name == "conv1":
+            continue
+        blocks[name] = list(params_bb[name].keys())
+
+    def fill(unit, conv_name):
+        unit["w"] = get(f"{conv_name}/weights")
+        bn = bn_name_for(conv_name)
+        unit["scale"], unit["offset"] = fold_bn(
+            get(f"{bn}/gamma"), get(f"{bn}/beta"),
+            get(f"{bn}/moving_mean"), get(f"{bn}/moving_variance"))
+
+    fill(params_bb["conv1"], "conv1")
+    for bname, bp in params_bb.items():
+        if bname == "conv1":
+            continue
+        for branch, unit in bp.items():
+            fill(unit, f"{bname}_{branch}")
+    return params_bb
+
+
+def convert_head(get, params, cfg, scope="text_objseg"):
+    """Fill head params from reference variable names."""
+    def conv(scope_name):
+        return {"DW": get(f"{scope}/{scope_name}/DW"),
+                "biases": get(f"{scope}/{scope_name}/biases")}
+
+    def ln(scope_name):
+        return {"gamma": get(f"{scope}/{scope_name}/gamma"),
+                "beta": get(f"{scope}/{scope_name}/beta")}
+
+    # text encoder
+    params["text"]["embedding"] = get(f"{scope}/Variable")
+    if "lstm" in params["text"]:
+        params["text"]["lstm"] = {
+            "kernel": get(f"{scope}/rnn/lstm_cell/kernel"),
+            "bias": get(f"{scope}/rnn/lstm_cell/bias"),
+        }
+    params["parser"]["words_parse_1"] = conv("words_parse_1")
+    params["parser"]["words_parse_2"] = conv("words_parse_2")
+
+    for lv in cfg.levels:
+        lp = params["levels"][lv]
+        params["laterals"][lv] = conv(f"{lv}_lateral")
+        # mutan heads: stack 5 per-head convs along the output axis
+        vis_k = [get(f"{scope}/vis_trans_{lv}_head{i}/DW")
+                 for i in range(1, 6)]
+        vis_b = [get(f"{scope}/vis_trans_{lv}_head{i}/biases")
+                 for i in range(1, 6)]
+        lang_k = [get(f"{scope}/lang_trans_{lv}_head{i}/DW")
+                  for i in range(1, 6)]
+        lang_b = [get(f"{scope}/lang_trans_{lv}_head{i}/biases")
+                  for i in range(1, 6)]
+        lp["mutan"]["vis_trans"] = {
+            "DW": np.concatenate(vis_k, axis=-1),
+            "biases": np.concatenate(vis_b, axis=-1)}
+        lp["mutan"]["lang_trans"] = {
+            "DW": np.concatenate(lang_k, axis=-1),
+            "biases": np.concatenate(lang_b, axis=-1)}
+        lp["graph"]["words_trans"] = conv(f"words_trans_{lv}")
+        lp["graph"]["spa_graph_trans2"] = conv(f"spa_graph_trans2_{lv}")
+        for i, gp in enumerate(lp["graph"]["gconv"]):
+            gname = ("spa_graph" if cfg.num_graph_conv == 1
+                     else f"spa_graph_{i}")
+            gp["update"] = conv(f"gconv_update_{gname}_{lv}")
+            gp["feat_ln"] = ln(f"gconv_feat_ln_{gname}_{lv}")
+            gp["update_ln"] = ln(f"gconv_update_ln_{gname}_{lv}")
+        lp["fusion"] = conv(f"fusion_{lv}")
+        params["scores"][f"score_{lv}"] = conv(f"score_{lv}")
+
+    # gated exchange rounds
+    ex = params["fusion_stack"]["exchange"]
+    for key, p in ex.items():
+        if "gv" in p:
+            p["gv"] = {
+                "spa_graph_key": conv(f"spa_graph_key_{key}gv_f1"),
+                "lang_query": conv(f"lang_query_{key}gv_f1"),
+                "gv_lang": conv(f"gv_lang_{key}gv_f1"),
+            }
+        for i, se in enumerate(p["se"], start=1):
+            se["lang_feat"] = conv(f"lang_feat_{key}_f{i}")
+            se["trans_feat"] = conv(f"trans_feat_{key}_f{i}")
+
+    # ConvLSTM (dynamic_rnn scope 'rnn/conv_lstm_cell')
+    cl = params["fusion_stack"]["convlstm"]
+    base = f"{scope}/rnn/conv_lstm_cell"
+    cl["kernel"] = get(f"{base}/kernel")
+    for w in ("W_ci", "W_cf", "W_co"):
+        cl[w] = get(f"{base}/{w}")
+    for i in range(5):   # creation order j,i,f,o,c
+        suffix = "" if i == 0 else f"_{i}"
+        cl["ln"][i] = {"gamma": get(f"{base}/LayerNorm{suffix}/gamma"),
+                       "beta": get(f"{base}/LayerNorm{suffix}/beta")}
+
+    if "score" in params["scores"]:
+        params["scores"]["score"] = conv("score")
+    return params
+
+
+def convert(ckpt_path: str, model_name: str, overrides=None):
+    import tensorflow as tf
+    from cmpc_refseg_tpu.config import get_config
+    from cmpc_refseg_tpu.models.model import init_model
+    import jax
+
+    cfg = get_config(model_name, **(overrides or {}))
+    params, state = init_model(jax.random.PRNGKey(0), cfg)
+
+    reader = tf.train.load_checkpoint(ckpt_path)
+
+    def get(name):
+        return np.asarray(reader.get_tensor(name))
+
+    convert_backbone(reader, get, params["backbone"])
+    convert_head(get, params, cfg)
+    return cfg, params, state
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--model", default="CMPC_model")
+    ap.add_argument("--out", required=True)
+    args = ap.parse_args()
+    cfg, params, state = convert(args.ckpt, args.model)
+    import jax
+    flat, _ = jax.tree_util.tree_flatten_with_path(params)
+    np.savez(args.out, **{jax.tree_util.keystr(k): np.asarray(v)
+                          for k, v in flat})
+    print(f"wrote {args.out} ({len(flat)} tensors)")
+
+
+if __name__ == "__main__":
+    main()
