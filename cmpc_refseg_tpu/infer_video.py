@@ -20,6 +20,34 @@ import os
 import numpy as np
 
 
+def find_pivot_frames(frames_feature, num_propagate: int = 2):
+    """Pivot-frame selection for mask propagation (reference test.py:150-180,
+    dormant in the reference's inference loop but part of its surface).
+
+    Given per-frame global features (mask-pooled visual features), picks the
+    frame most cosine-similar to all others as the first pivot, then walks
+    frames ordered by distance to it, greedily selecting pivots and marking
+    a +/- num_propagate neighborhood as covered.
+
+    Returns selected frame indices (0-based), in selection order.
+    """
+    feats = np.asarray(frames_feature, dtype=np.float64)
+    n = feats.shape[0]
+    norm = feats / np.linalg.norm(feats, axis=1, keepdims=True)
+    sim = norm @ norm.T
+    first_pivot = int(np.argmax(sim.sum(axis=0)))
+    order = np.argsort(sim[first_pivot])
+    available = np.ones(n, dtype=bool)
+    selected = []
+    for fid in order:
+        if available[fid]:
+            selected.append(int(fid))
+            lo = max(fid - num_propagate, 0)
+            hi = min(fid + num_propagate + 1, n)
+            available[lo:hi] = False
+    return selected
+
+
 def iter_video_expressions(meta_path: str):
     with open(meta_path) as f:
         meta = json.load(f)["videos"]
