@@ -14,6 +14,7 @@ secondary metric in the same JSON object.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -21,8 +22,14 @@ import numpy as np
 ASSUMED_BASELINE_MASKS_PER_SEC = 25.0
 
 
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
 def main():
     import jax
+    from cmpc_refseg_tpu.utils.compile_cache import enable as enable_cache
+    enable_cache()
     from cmpc_refseg_tpu.config import get_config
     from cmpc_refseg_tpu.models.model import apply_model, init_model
     from cmpc_refseg_tpu.train.trainer import create_train_state, make_train_step
@@ -41,7 +48,15 @@ def main():
         "seq_len": np.full((batch,), 4, np.int32),
     }
 
+    log("bench: initializing params ...")
     params, state = init_model(jax.random.PRNGKey(0), cfg)
+    # Commit params/inputs to the device ONCE.  Leaving them as numpy would
+    # re-transfer ~0.5GB through the (slow, tunneled) host->device link on
+    # EVERY call, measuring the tunnel instead of the chip.
+    t0 = time.perf_counter()
+    params, state, feed = jax.device_put((params, state, feed))
+    jax.block_until_ready(params)
+    log(f"bench: params on device in {time.perf_counter() - t0:.1f}s")
 
     @jax.jit
     def forward(params, state, b):
@@ -49,8 +64,11 @@ def main():
         return outputs.sigm
 
     # warmup/compile
+    log(f"bench: compiling forward (bs={batch}) ...")
+    t0 = time.perf_counter()
     out = forward(params, state, feed)
     jax.block_until_ready(out)
+    log(f"bench: forward compile+run {time.perf_counter() - t0:.1f}s")
 
     iters = 30 if on_tpu else 3
     t0 = time.perf_counter()
@@ -68,8 +86,13 @@ def main():
         tb = dict(feed)
         tb["target"] = (rng.random((batch, cfg.H, cfg.W, 1)) > 0.7
                         ).astype(np.float32)
+        tstate, tb = jax.device_put((tstate, tb))
+        jax.block_until_ready(tstate.step)
+        log("bench: compiling train step ...")
+        t0 = time.perf_counter()
         tstate, m = step_fn(tstate, tb)
         jax.block_until_ready(tstate.step)
+        log(f"bench: train compile+run {time.perf_counter() - t0:.1f}s")
         titers = 10 if on_tpu else 1
         t0 = time.perf_counter()
         for _ in range(titers):

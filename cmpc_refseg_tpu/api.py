@@ -48,6 +48,8 @@ def build_model(name: str, *, seed: int = 0, glove=None,
     """Construct a model variant by reference name (see config.VARIANTS)."""
     cfg = get_config(name, **overrides)
     params, state = init_model(jax.random.PRNGKey(seed), cfg, glove)
+    # Commit to device once; numpy leaves would re-transfer on every call.
+    params, state = jax.device_put((params, state))
     return Model(cfg=cfg, params=params, state=state)
 
 

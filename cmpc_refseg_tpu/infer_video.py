@@ -72,6 +72,8 @@ def run_inference(cfg, params, model_state, *, meta_path: str, im_dir: str,
 
     vocab = load_vocab_dict_from_file(vocab_path)
     saver = SaveImageWorker()
+    # device-commit once; numpy params would re-transfer per batch
+    params, model_state = jax.device_put((params, model_state))
     fwd = jax.jit(lambda p, s, b: apply_model(p, s, cfg, b)[0].sigm)
 
     n_expr = 0
