@@ -39,10 +39,11 @@ def _init_bn_state(cout):
 
 def _apply_bn_unit(p, s, x, *, dilation=1, train=False, relu=True):
     y = conv2d({"DW": p["DW"]}, x, dilation=dilation)
+    yf = y.astype(jnp.float32)           # BN statistics always f32
     if train:
         axes = (0, 1, 2)
-        mean = jnp.mean(y, axis=axes)
-        var = jnp.var(y, axis=axes)
+        mean = jnp.mean(yf, axis=axes)
+        var = jnp.var(yf, axis=axes)
         new_s = {
             "mean": s["mean"] * BN_DECAY + mean * (1 - BN_DECAY),
             "var": s["var"] * BN_DECAY + var * (1 - BN_DECAY),
@@ -50,10 +51,10 @@ def _apply_bn_unit(p, s, x, *, dilation=1, train=False, relu=True):
     else:
         mean, var = s["mean"], s["var"]
         new_s = s
-    y = (y - mean) * jax.lax.rsqrt(var + BN_EPS) * p["gamma"] + p["beta"]
+    yf = (yf - mean) * jax.lax.rsqrt(var + BN_EPS) * p["gamma"] + p["beta"]
     if relu:
-        y = jax.nn.relu(y)
-    return y, new_s
+        yf = jax.nn.relu(yf)
+    return yf.astype(y.dtype), new_s
 
 
 _ASPP_UNITS = ("conv_1x1", "conv_3x3_1", "conv_3x3_2", "conv_3x3_3",
@@ -130,5 +131,5 @@ def apply_v3plus_decoder(params, state, encoder_output, c2, *, train=False):
         params["conv_3x3_1"], state["conv_3x3_1"], net, train=train)
     net, new_state["conv_3x3_2"] = _apply_bn_unit(
         params["conv_3x3_2"], state["conv_3x3_2"], net, train=train)
-    net = conv2d(params["conv_1x1"], net)
+    net = conv2d(params["conv_1x1"], net.astype(jnp.float32))  # f32 logits
     return net, new_state

@@ -85,11 +85,15 @@ def _conv_bn(unit, x, *, stride=1, dilation=1, relu=True, compute_dtype=None):
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
+    # bf16 path keeps one dtype through the conv (its transpose rule cannot
+    # mix a f32 cotangent with bf16 operands when conv5 training is on); the
+    # folded-BN affine then runs in f32 and re-casts.
+    preferred = jnp.float32 if x.dtype == jnp.float32 else None
     y = jax.lax.conv_general_dilated(
         x, w, window_strides=(stride, stride), padding="SAME",
         rhs_dilation=(dilation, dilation), dimension_numbers=DIMS,
-        preferred_element_type=jnp.float32)
-    y = y * unit["scale"] + unit["offset"]
+        preferred_element_type=preferred)
+    y = y.astype(jnp.float32) * unit["scale"] + unit["offset"]
     if relu:
         y = jnp.maximum(y, 0.0)
     if compute_dtype is not None:

@@ -82,9 +82,11 @@ def apply_mutan(params, lang_feat, spatial_feat, visual_feat,
     nh = num_heads
     b, h, w, _ = visual_feat.shape
     c = params["vis_trans"]["DW"].shape[-1] // nh
-    vis_in = jnp.concatenate([visual_feat, spatial_feat], axis=-1)
+    vis_in = jnp.concatenate(
+        [visual_feat, spatial_feat.astype(visual_feat.dtype)], axis=-1)
     vis = jnp.tanh(conv2d(params["vis_trans"], vis_in))       # [B,H,W,5C]
     lang = jnp.tanh(conv2d(params["lang_trans"], lang_feat))  # [B,1,1,5C]
+    lang = lang.astype(vis.dtype)       # keep the big product in vis dtype
     prod = (vis.reshape(b, h, w, nh, c)
             * lang.reshape(lang.shape[0], 1, 1, nh, c))
     fused = jnp.tanh(jnp.sum(prod, axis=3))
@@ -117,10 +119,16 @@ def _graph_conv(gp, x_nodes, w_aff, v_aff):
     """One graph convolution (CMPC_model.py:359-374) WITHOUT materializing
     adj = w_aff @ v_aff^T: message = w_aff @ (v_aff^T @ x).
 
-    x_nodes [B,N,C]; w_aff, v_aff [B,N,T].
+    x_nodes [B,N,C]; w_aff, v_aff [B,N,T] (affinities arrive f32 from the
+    softmax; the matmuls run in the node dtype with f32 accumulation).
     """
-    pooled = jnp.einsum("bnt,bnc->btc", v_aff, x_nodes)       # [B,T,C]
-    msg = jnp.einsum("bnt,btc->bnc", w_aff, pooled)           # [B,N,C]
+    w_aff = w_aff.astype(x_nodes.dtype)
+    v_aff = v_aff.astype(x_nodes.dtype)
+    f32 = jnp.float32
+    pooled = jnp.einsum("bnt,bnc->btc", v_aff, x_nodes,
+                        preferred_element_type=f32)           # [B,T,C]
+    msg = jnp.einsum("bnt,btc->bnc", w_aff, pooled.astype(x_nodes.dtype),
+                     preferred_element_type=f32).astype(x_nodes.dtype)
     msg = tf1_layer_norm(msg[:, None], gp["feat_ln"]["gamma"],
                          gp["feat_ln"]["beta"])[:, 0]
     y = jax.nn.relu(x_nodes + msg)
@@ -147,7 +155,9 @@ def apply_spa_graph(params, cfg, spa_graph, words_feat, words_parse, seq_mask):
         words_trans = l2_normalize(words_trans, -1)
         graph_trans = l2_normalize(graph_trans, -1)
 
-    affi = jnp.einsum("bna,bta->bnt", graph_trans, words_trans)
+    affi = jnp.einsum("bna,bta->bnt", graph_trans,
+                      words_trans.astype(graph_trans.dtype),
+                      preferred_element_type=jnp.float32)  # f32 for softmax
     affi = affi / (cfg.v_emb_dim ** 0.5)
     mask = seq_mask[:, :, :, 0]                                      # [B,1,T]
 
@@ -214,9 +224,11 @@ def apply_lang2vis(params, cfg, visual_feat, words_feat, words_parse,
         feat_all = apply_mutan(params["sent_mutan"], nec, spatial, graph_feat)
     else:
         b, h, w, _ = visual_feat.shape
-        lang_tiled = jnp.broadcast_to(valid, (b, h, w, valid.shape[-1]))
+        dt = vis_la_sp.dtype
+        lang_tiled = jnp.broadcast_to(valid.astype(dt),
+                                      (b, h, w, valid.shape[-1]))
         feat_all = jnp.concatenate(
-            [vis_la_sp, graph_feat, lang_tiled, spatial], axis=-1)
+            [vis_la_sp, graph_feat, lang_tiled, spatial.astype(dt)], axis=-1)
     fusion = jax.nn.relu(conv2d(params["fusion"], feat_all))
     return fusion, gw
 
@@ -240,11 +252,14 @@ def _apply_gv(p, cfg, feat, lang_feat):
     b, h, w, c = feat.shape
     key = conv2d(p["spa_graph_key"], feat).reshape(b, h * w, cfg.mlp_dim)
     query = conv2d(p["lang_query"], lang_feat).reshape(b, 1, cfg.mlp_dim)
-    attn = jnp.einsum("bnc,bqc->bnq", key, query) / (cfg.mlp_dim ** 0.5)
-    attn = jax.nn.softmax(attn, axis=1)                       # [B,HW,1]
-    pooled = jnp.einsum("bnq,bnc->bqc", attn, feat.reshape(b, h * w, c))
+    attn = jnp.einsum("bnc,bqc->bnq", key, query.astype(key.dtype),
+                      preferred_element_type=jnp.float32) / (cfg.mlp_dim ** 0.5)
+    attn = jax.nn.softmax(attn, axis=1)                       # [B,HW,1] f32
+    pooled = jnp.einsum("bnq,bnc->bqc", attn.astype(feat.dtype),
+                        feat.reshape(b, h * w, c),
+                        preferred_element_type=jnp.float32)
     gv = jnp.concatenate([pooled.reshape(b, 1, 1, c),
-                          lang_feat], axis=-1)
+                          lang_feat.astype(pooled.dtype)], axis=-1)
     gv = conv2d(p["gv_lang"], gv)
     # NOTE: reference l2-normalizes over the DEFAULT axis of TF<=1.13
     # (tf.nn.l2_normalize(x) with no axis = global over all dims,
@@ -265,7 +280,7 @@ def _init_se(key, cfg):
 def _apply_se(p, feat, gv_lang):
     gate = jax.nn.sigmoid(conv2d(p["lang_feat"], gv_lang))    # [B,1,1,C]
     trans = jax.nn.relu(conv2d(p["trans_feat"], feat))
-    return trans * gate
+    return trans * gate.astype(trans.dtype)
 
 
 def init_exchange(key, cfg, num_others: int):
@@ -321,12 +336,13 @@ def convlstm_step(p, x, c, h, *, forget_bias: float = 1.0):
     Gate split order is (j, i, f, o); peepholes on i/f use the OLD cell and
     on o the NEW cell; j/i/f/o/c are all layer-normalized (whole-sample,
     tf.contrib semantics); normalize=True means no conv bias."""
+    dt = x.dtype
     z = jnp.concatenate([x, h], axis=-1)
-    y = jnp.einsum("bhwc,cd->bhwd", z, p["kernel"][0, 0],
-                   preferred_element_type=jnp.float32)
+    y = jnp.einsum("bhwc,cd->bhwd", z, p["kernel"][0, 0].astype(dt),
+                   preferred_element_type=jnp.float32).astype(dt)
     j, i, f, o = jnp.split(y, 4, axis=-1)
-    i = i + p["W_ci"] * c
-    f = f + p["W_cf"] * c
+    i = i + p["W_ci"].astype(dt) * c
+    f = f + p["W_cf"].astype(dt) * c
     ln = p["ln"]
     j = tf1_layer_norm(j, ln[0]["gamma"], ln[0]["beta"])
     i = tf1_layer_norm(i, ln[1]["gamma"], ln[1]["beta"])
@@ -334,7 +350,7 @@ def convlstm_step(p, x, c, h, *, forget_bias: float = 1.0):
     f = jax.nn.sigmoid(f + forget_bias)
     i = jax.nn.sigmoid(i)
     new_c = c * f + i * jnp.tanh(j)
-    o = o + p["W_co"] * new_c
+    o = o + p["W_co"].astype(dt) * new_c
     o = tf1_layer_norm(o, ln[3]["gamma"], ln[3]["beta"])
     new_c = tf1_layer_norm(new_c, ln[4]["gamma"], ln[4]["beta"])
     o = jax.nn.sigmoid(o)

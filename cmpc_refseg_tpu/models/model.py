@@ -112,6 +112,12 @@ def apply_model(params, state, cfg: ModelConfig, batch: dict, *,
     taps = tuple(cfg.levels) + (("c2",) if cfg.decoder == "aspp_v3plus" else ())
     vis = apply_backbone(params["backbone"], im, compute_dtype=compute_dtype,
                          taps=taps, res4_blocks=cfg.res4_blocks)
+    if compute_dtype is not None:
+        # Run the whole CMPC head in the compute dtype as well: the head is
+        # ~10% of the FLOPs but dominated wall-clock in f32 (bandwidth +
+        # 4x-slower MXU rate).  Norm/softmax statistics stay f32 inside the
+        # ops; final score convs and logits are f32 (casts below).
+        vis = {k: v.astype(compute_dtype) for k, v in vis.items()}
 
     text = encode_text(
         params["text"], cfg,
@@ -152,7 +158,8 @@ def apply_model(params, state, cfg: ModelConfig, batch: dict, *,
         fusions[lv], gw[lv] = cmpc.apply_lang2vis(
             params["levels"][lv], cfg, laterals[lv], text.words_feat,
             words_parse, text.seq_mask, spatial)
-        score_lv = conv2d(params["scores"][f"score_{lv}"], fusions[lv])
+        score_lv = conv2d(params["scores"][f"score_{lv}"],
+                          fusions[lv].astype(jnp.float32))
         up_levels[lv] = resize_bilinear(score_lv, cfg.H, cfg.W)
 
     # necessary-language vector guides the exchange (E+A+R[+Action])
@@ -163,7 +170,7 @@ def apply_model(params, state, cfg: ModelConfig, batch: dict, *,
 
     new_state = state
     if cfg.decoder == "multiscore":
-        pred = conv2d(params["scores"]["score"], fused)
+        pred = conv2d(params["scores"]["score"], fused.astype(jnp.float32))
     else:
         enc_out, st_a = aspp_mod.apply_aspp(params["aspp"], state["aspp"],
                                             fused, train=train)

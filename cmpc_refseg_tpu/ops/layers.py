@@ -83,34 +83,48 @@ def init_conv(key, ksize: int, cin: int, cout: int, *, bias: bool = True,
 def conv2d(params, x, *, stride: int = 1, dilation: int = 1,
            compute_dtype=None):
     """SAME conv (reference _conv at CMPC_model.py:412-417 /
-    _atrous_conv at :419-424).  Accumulates in float32 on the MXU."""
+    _atrous_conv at :419-424).
+
+    Mixed-precision contract: the MXU matmul runs in ``compute_dtype`` if
+    given, else in ``x.dtype`` (f32 params are down-cast to match bf16
+    activations, never the reverse).  In f32 we request f32 accumulation
+    explicitly; in bf16 the output stays bf16 (conv_general_dilated's
+    transpose rule cannot mix a f32 cotangent with bf16 operands, so a
+    trainable bf16 conv must keep one dtype end-to-end — the MXU still
+    accumulates partial products in f32 internally).
+    """
     w = params["DW"]
-    if compute_dtype is not None:
-        x = x.astype(compute_dtype)
-        w = w.astype(compute_dtype)
+    out_dtype = jnp.dtype(compute_dtype) if compute_dtype is not None \
+        else x.dtype
+    x = x.astype(out_dtype)
+    w = w.astype(out_dtype)
+    preferred = jnp.float32 if out_dtype == jnp.float32 else None
     y = jax.lax.conv_general_dilated(
         x, w,
         window_strides=(stride, stride),
         padding="SAME",
         rhs_dilation=(dilation, dilation),
         dimension_numbers=DIMS,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=preferred,
     )
     if "biases" in params:
-        y = y + params["biases"]
-    return y
+        y = y + params["biases"].astype(out_dtype)
+    return y.astype(out_dtype)
 
 
 def dense(params, x, *, compute_dtype=None):
-    """x @ DW + biases for the last axis."""
+    """x @ DW + biases for the last axis (same dtype contract as conv2d;
+    matmul transpose supports preferred_element_type, so f32 accumulation
+    is always requested)."""
     w = params["DW"]
-    if compute_dtype is not None:
-        x = x.astype(compute_dtype)
-        w = w.astype(compute_dtype)
+    out_dtype = jnp.dtype(compute_dtype) if compute_dtype is not None \
+        else x.dtype
+    x = x.astype(out_dtype)
+    w = w.astype(out_dtype)
     y = jnp.matmul(x, w, preferred_element_type=jnp.float32)
     if "biases" in params:
         y = y + params["biases"]
-    return y
+    return y.astype(out_dtype)
 
 
 def max_pool(x, ksize: int, stride: int):
