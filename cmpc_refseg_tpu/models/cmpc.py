@@ -78,19 +78,22 @@ def init_mutan(key, cfg, num_heads: int = 5):
 def apply_mutan(params, lang_feat, spatial_feat, visual_feat,
                 num_heads: int = 5):
     """Bilinear multimodal fusion (CMPC_model.py:311-328):
-    sum_h tanh(conv_h([vis, spatial])) * tanh(conv_h(lang)), tanh, l2norm."""
+    sum_h tanh(conv_h([vis, spatial])) * tanh(conv_h(lang)), tanh, l2norm.
+
+    Runs as ONE fused Pallas kernel on TPU (ops/pallas_kernels.py): the
+    [B,HW,5C] tanh intermediate never reaches HBM."""
+    from cmpc_refseg_tpu.ops.pallas_kernels import mutan_fused
     nh = num_heads
     b, h, w, _ = visual_feat.shape
-    c = params["vis_trans"]["DW"].shape[-1] // nh
     vis_in = jnp.concatenate(
         [visual_feat, spatial_feat.astype(visual_feat.dtype)], axis=-1)
-    vis = jnp.tanh(conv2d(params["vis_trans"], vis_in))       # [B,H,W,5C]
     lang = jnp.tanh(conv2d(params["lang_trans"], lang_feat))  # [B,1,1,5C]
-    lang = lang.astype(vis.dtype)       # keep the big product in vis dtype
-    prod = (vis.reshape(b, h, w, nh, c)
-            * lang.reshape(lang.shape[0], 1, 1, nh, c))
-    fused = jnp.tanh(jnp.sum(prod, axis=3))
-    return l2_normalize(fused, -1)
+    lang = lang.astype(vis_in.dtype)
+    out = mutan_fused(vis_in.reshape(b, h * w, vis_in.shape[-1]),
+                      params["vis_trans"]["DW"][0, 0],
+                      params["vis_trans"]["biases"],
+                      lang.reshape(b, -1), nh)
+    return out.reshape(b, h, w, -1)
 
 
 # ---------------------------------------------------------------------------

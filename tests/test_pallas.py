@@ -1,0 +1,62 @@
+"""Pallas kernel tests: interpret-mode numerics vs the XLA reference."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cmpc_refseg_tpu.ops.pallas_kernels import (_mutan_fused_fwd,
+                                                _mutan_reference, mutan_fused)
+
+
+@pytest.mark.parametrize("n,k,c", [(64, 24, 16), (128, 128, 128)])
+def test_mutan_kernel_matches_reference(rng, n, k, c):
+    nh = 5
+    x = rng.standard_normal((2, n, k)).astype(np.float32)
+    w = (0.1 * rng.standard_normal((k, nh * c))).astype(np.float32)
+    b = (0.1 * rng.standard_normal((nh * c,))).astype(np.float32)
+    lang = rng.standard_normal((2, nh * c)).astype(np.float32)
+
+    ref = _mutan_reference(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b),
+                           jnp.asarray(lang), nh)
+    ker = _mutan_fused_fwd(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b),
+                           jnp.asarray(lang), num_heads=nh, interpret=True)
+    np.testing.assert_allclose(np.asarray(ker), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_mutan_kernel_bf16_interpret(rng):
+    nh, n, k, c = 5, 64, 40, 32
+    x = rng.standard_normal((1, n, k)).astype(np.float32)
+    w = (0.1 * rng.standard_normal((k, nh * c))).astype(np.float32)
+    b = np.zeros((nh * c,), np.float32)
+    lang = rng.standard_normal((1, nh * c)).astype(np.float32)
+    ref = _mutan_reference(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b),
+                           jnp.asarray(lang), nh)
+    ker = _mutan_fused_fwd(jnp.asarray(x, jnp.bfloat16), jnp.asarray(w),
+                           jnp.asarray(b),
+                           jnp.asarray(lang, jnp.bfloat16),
+                           num_heads=nh, interpret=True)
+    assert ker.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(ker, np.float32), np.asarray(ref),
+                               rtol=0.1, atol=0.05)
+
+
+def test_mutan_grad_flows(rng):
+    nh, n, k, c = 5, 16, 8, 8
+    x = jnp.asarray(rng.standard_normal((1, n, k)), jnp.float32)
+    w = jnp.asarray(0.1 * rng.standard_normal((k, nh * c)), jnp.float32)
+    b = jnp.zeros((nh * c,), jnp.float32)
+    lang = jnp.asarray(rng.standard_normal((1, nh * c)), jnp.float32)
+
+    coef = jnp.asarray(rng.standard_normal((1, n, c)), jnp.float32)
+
+    def loss(w):
+        return jnp.sum(coef * mutan_fused(x, w, b, lang, nh))
+
+    g = jax.grad(loss)(w)
+    # finite-difference check on one coordinate
+    e = 1e-3
+    dw = np.zeros_like(np.asarray(w)); dw[0, 0] = e
+    num = (loss(w + dw) - loss(w - dw)) / (2 * e)
+    np.testing.assert_allclose(float(g[0, 0]), float(num), rtol=2e-2)
