@@ -75,12 +75,18 @@ def lstm_scan(cell_params: dict, inputs: jnp.ndarray, seq_len: jnp.ndarray,
                             seq_len[:, None] - 1 - pos, pos)  # [B, T]
         inputs = jnp.take_along_axis(inputs, rev_idx[:, :, None], axis=1)
 
-    def step(carry, xt):
+    # Hoist the input projection out of the recurrence: ONE [B*T,D]x[D,4H]
+    # matmul instead of T small ones inside the scan (the x-rows and h-rows
+    # of the TF kernel are contiguous, so this is numerically identical).
+    d = inputs.shape[-1]
+    k_x, k_h = cell_params["kernel"][:d], cell_params["kernel"][d:]
+    gx = (jnp.matmul(inputs.reshape(b * t, d), k_x,
+                     preferred_element_type=jnp.float32)
+          .reshape(b, t, -1) + cell_params["bias"])
+
+    def step(carry, gxt):
         c, h, tpos = carry
-        zin = jnp.concatenate([xt, h], axis=-1)
-        gates = jnp.matmul(zin, cell_params["kernel"],
-                           preferred_element_type=jnp.float32)
-        gates = gates + cell_params["bias"]
+        gates = jnp.matmul(h, k_h, preferred_element_type=jnp.float32) + gxt
         i, j, f, o = jnp.split(gates, 4, axis=-1)
         new_c = (jax.nn.sigmoid(f + forget_bias) * c
                  + jax.nn.sigmoid(i) * jnp.tanh(j))
@@ -95,7 +101,7 @@ def lstm_scan(cell_params: dict, inputs: jnp.ndarray, seq_len: jnp.ndarray,
             jnp.zeros((b, hidden), inputs.dtype),
             jnp.asarray(0, jnp.int32))
     (_, final_h, _), outs = jax.lax.scan(step, init,
-                                         jnp.swapaxes(inputs, 0, 1))
+                                         jnp.swapaxes(gx, 0, 1))
     outs = jnp.swapaxes(outs, 0, 1)  # [B, T, H]
 
     if reverse:
