@@ -152,6 +152,9 @@ def apply_video_model(params, state, cfg: ModelConfig, batch: dict, *,
     vis = apply_backbone(params["backbone"], frames_bf,
                          compute_dtype=compute_dtype, taps=tuple(cfg.levels),
                          res4_blocks=cfg.res4_blocks)
+    if compute_dtype is not None:
+        # run the whole video head in the compute dtype (see model.py)
+        vis = {k: v.astype(compute_dtype) for k, v in vis.items()}
 
     text = encode_text(params["text"], cfg, words=batch.get("words"),
                        seq_len=batch.get("seq_len"),
@@ -199,17 +202,21 @@ def apply_video_model(params, state, cfg: ModelConfig, batch: dict, *,
             p["graph"], cfg, center_mm, text.words_feat, words_parse,
             text.seq_mask)
 
-        lang_tiled = jnp.broadcast_to(valid, (b, h, w, valid.shape[-1]))
+        dt = center_vis.dtype
+        lang_tiled = jnp.broadcast_to(valid.astype(dt),
+                                      (b, h, w, valid.shape[-1]))
         feat_all = jnp.concatenate(
-            [center_vis, sgraph, ctx, lang_tiled, spatial], axis=-1)
+            [center_vis, sgraph.astype(dt), ctx.astype(dt), lang_tiled,
+             spatial.astype(dt)], axis=-1)
         fusions[lv] = jax.nn.relu(conv2d(p["fusion"], feat_all))
 
-        score_lv = conv2d(params["scores"][f"score_{lv}"], fusions[lv])
+        score_lv = conv2d(params["scores"][f"score_{lv}"],
+                          fusions[lv].astype(jnp.float32))
         up_levels[lv] = resize_bilinear(score_lv, cfg.H, cfg.W)
 
     fused = cmpc.apply_fusion_stack(params["fusion_stack"], cfg, fusions,
                                     valid)
-    pred = conv2d(params["scores"]["score"], fused)
+    pred = conv2d(params["scores"]["score"], fused.astype(jnp.float32))
     up = resize_bilinear(pred, cfg.H, cfg.W)
     return ModelOutputs(pred, up, jax.nn.sigmoid(up), up_levels,
                         words_parse, gw), state

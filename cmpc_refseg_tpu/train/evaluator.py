@@ -82,6 +82,62 @@ def evaluate(cfg: ModelConfig, params, model_state, sample_iter, *,
     return results
 
 
+def make_sharded_eval_step(cfg: ModelConfig):
+    """Batched on-device eval step for data-parallel meshes (SURVEY.md
+    section 5.8): the global batch is sharded over the mesh's 'data' axis,
+    per-sample (I, U) and precision@X counts are computed on device, and
+    GSPMD inserts the ICI all-reduce for the sums.  Evaluation here is at
+    model resolution (H, W) against 'target' — the fixed-shape fast path;
+    the native-resolution protocol above remains the parity path.
+    """
+    import jax.numpy as jnp
+
+    thresholds = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+    @jax.jit
+    def eval_step(params, model_state, batch):
+        outputs, _ = apply_model(params, model_state, cfg, batch, train=False)
+        pred = outputs.up[..., 0] > SCORE_THRESHOLD        # [B,H,W]
+        target = batch["target"][..., 0] > 0.5
+        i = jnp.sum(jnp.logical_and(pred, target), axis=(1, 2))
+        u = jnp.sum(jnp.logical_or(pred, target), axis=(1, 2))
+        iou = i / jnp.maximum(u, 1)
+        prec = jnp.stack([jnp.sum(iou > t) for t in thresholds])
+        return jnp.sum(i), jnp.sum(u), jnp.sum(iou), prec
+    return eval_step
+
+
+def evaluate_sharded(cfg: ModelConfig, params, model_state, batch_iter, *,
+                     mesh=None, max_batches: Optional[int] = None) -> dict:
+    """Run the sharded eval loop; batch_iter yields global batches with
+    'target' [B,H,W,1].  With a mesh, inputs are sharded over 'data'."""
+    from cmpc_refseg_tpu.parallel.mesh import shard_batch
+
+    eval_step = make_sharded_eval_step(cfg)
+    tot_i = tot_u = tot_iou = 0.0
+    tot_prec = np.zeros(5)
+    n = 0
+    for bi, batch in enumerate(batch_iter):
+        if max_batches is not None and bi >= max_batches:
+            break
+        bsz = batch["im"].shape[0]
+        if mesh is not None:
+            batch = shard_batch(batch, mesh)
+        i, u, iou, prec = eval_step(params, model_state, batch)
+        tot_i += float(i)
+        tot_u += float(u)
+        tot_iou += float(iou)
+        tot_prec += np.asarray(prec)
+        n += bsz
+    return {
+        "overall_iou": tot_i / max(tot_u, 1),
+        "mean_iou": tot_iou / max(n, 1),
+        "n": n,
+        **{f"prec@{t}": tot_prec[k] / max(n, 1)
+           for k, t in enumerate((0.5, 0.6, 0.7, 0.8, 0.9))},
+    }
+
+
 def print_results(results: dict) -> None:
     """Reference-format printout (trainval_model.py:288-303)."""
     for variant, r in results.items():

@@ -144,3 +144,35 @@ class TestDataParallel:
         np.testing.assert_allclose(float(m_single["train_mIoU"]),
                                    float(m_sharded["train_mIoU"]),
                                    rtol=1e-4)
+
+    def test_sharded_eval_matches_host_accumulation(self, rng):
+        """evaluate_sharded over the 8-device mesh == per-sample numpy IoU."""
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from cmpc_refseg_tpu.models.model import apply_model, init_model
+        from cmpc_refseg_tpu.parallel.mesh import make_mesh
+        from cmpc_refseg_tpu.train.evaluator import (SCORE_THRESHOLD,
+                                                     evaluate_sharded)
+        cfg = get_config("CMPC_model", **{**TINY, "batch_size": 8})
+        params, mstate = init_model(jax.random.PRNGKey(0), cfg)
+        batches = [make_batch(cfg, rng, b=8) for _ in range(2)]
+
+        mesh = make_mesh(8)
+        res = evaluate_sharded(cfg, params, mstate, iter(batches), mesh=mesh)
+
+        # host reference
+        ti = tu = tiou = 0.0
+        n = 0
+        for batch in batches:
+            up = np.asarray(apply_model(params, mstate, cfg, batch,
+                                        train=False)[0].up)[..., 0]
+            tgt = np.asarray(batch["target"])[..., 0] > 0.5
+            pred = up > SCORE_THRESHOLD
+            i = np.logical_and(pred, tgt).sum(axis=(1, 2))
+            u = np.logical_or(pred, tgt).sum(axis=(1, 2))
+            ti += i.sum(); tu += u.sum()
+            tiou += (i / np.maximum(u, 1)).sum()
+            n += up.shape[0]
+        np.testing.assert_allclose(res["overall_iou"], ti / tu, rtol=1e-5)
+        np.testing.assert_allclose(res["mean_iou"], tiou / n, rtol=1e-5)
+        assert res["n"] == n

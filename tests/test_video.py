@@ -38,3 +38,26 @@ def test_video_forward_shapes(rng):
     parse = np.asarray(out.words_parse)
     assert np.abs(parse[0, 0, 3:]).max() < 1e-6
     assert np.abs(parse[0, 0, :3]).sum() > 0.1
+
+
+def test_video_bf16_head_consistency(rng):
+    """bf16 compute path stays close to f32 and returns f32 logits."""
+    cfg32 = get_config("CMPC_video_mm_tgraph_allvec", **TINY)
+    cfg16 = cfg32.replace(compute_dtype="bfloat16")
+    params, state = init_video_model(jax.random.PRNGKey(0), cfg32)
+    b, t = cfg32.batch_size, cfg32.num_steps
+    words = np.zeros((b, t), np.int32)
+    words[0, -3:] = [3, 4, 5]
+    batch = {
+        "clip": jnp.asarray(
+            rng.standard_normal((b, cfg32.num_frames, cfg32.H, cfg32.W, 3)),
+            jnp.float32),
+        "words": jnp.asarray(words),
+        "valid_idx": jnp.asarray([[t - 3]], jnp.int32),
+    }
+    o32, _ = apply_video_model(params, state, cfg32, batch)
+    o16, _ = apply_video_model(params, state, cfg16, batch)
+    assert o16.up.dtype == jnp.float32
+    s32 = 1 / (1 + np.exp(-np.asarray(o32.up)))
+    s16 = 1 / (1 + np.exp(-np.asarray(o16.up)))
+    assert np.abs(s32 - s16).max() < 0.05
