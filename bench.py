@@ -49,7 +49,9 @@ def main():
     }
 
     log("bench: initializing params ...")
+    from cmpc_refseg_tpu.models.model import prepare_params
     params, state = init_model(jax.random.PRNGKey(0), cfg)
+    params = prepare_params(params, cfg)
     # Commit params/inputs to the device ONCE.  Leaving them as numpy would
     # re-transfer ~0.5GB through the (slow, tunneled) host->device link on
     # EVERY call, measuring the tunnel instead of the chip.

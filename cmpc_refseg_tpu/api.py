@@ -47,7 +47,9 @@ def build_model(name: str, *, seed: int = 0, glove=None,
                 **overrides) -> Model:
     """Construct a model variant by reference name (see config.VARIANTS)."""
     cfg = get_config(name, **overrides)
+    from cmpc_refseg_tpu.models.model import prepare_params
     params, state = init_model(jax.random.PRNGKey(seed), cfg, glove)
+    params = prepare_params(params, cfg)
     # Commit to device once; numpy leaves would re-transfer on every call.
     params, state = jax.device_put((params, state))
     return Model(cfg=cfg, params=params, state=state)

@@ -197,6 +197,15 @@ VARIANTS = {
     # CMPC_video/CMPC_video_mm_tgraph_allvec.py — video model, 5-way parse
     "CMPC_video_mm_tgraph_allvec": _BASE.replace(
         video=True, parse_classes=5, text_encoder="lstm_frontpad"),
+    # "v5+" — the reference's trainval_model_v5+.py driver feeds YOLO bbox
+    # labels (label_bbox/true_bbox + anchors) but the matching model file is
+    # absent from the snapshot (SURVEY.md section 2.2); this config realizes
+    # that surface: v5 + the detection aux head (models/detection.py)
+    "CMPCv5_plus_model": _BASE.replace(
+        levels=("c4", "c5"), decoder="aspp_v3plus",
+        loss_weights=(0.8, 0.1, 0.1), is_aug=True,
+        graph_norm="softmax_mask", text_encoder="lstm_frontpad",
+        bbox_head=True),
 }
 
 

@@ -7,6 +7,14 @@ from __future__ import annotations
 
 import numpy as np
 
+# Default anchors in stride-8 cell units (reference data/anchors.txt;
+# loaded by util/io.read_anchors at trainval_model_v5+.py:35).
+DEFAULT_ANCHORS = np.array([
+    [4.38013699, 4.5032344],
+    [28.66804788, 17.64065378],
+    [13.23512686, 13.4864392],
+], np.float32)
+
 
 def bbox_iou_xywh(boxes1, boxes2):
     """IoU of center-format [x, y, w, h] boxes (processing_tools.py:64-85)."""

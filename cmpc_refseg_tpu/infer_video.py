@@ -72,7 +72,10 @@ def run_inference(cfg, params, model_state, *, meta_path: str, im_dir: str,
 
     vocab = load_vocab_dict_from_file(vocab_path)
     saver = SaveImageWorker()
-    # device-commit once; numpy params would re-transfer per batch
+    # padded inference views + device-commit once (numpy params would
+    # re-transfer per batch)
+    from cmpc_refseg_tpu.models.model import prepare_params
+    params = prepare_params(params, cfg)
     params, model_state = jax.device_put((params, model_state))
     fwd = jax.jit(lambda p, s, b: apply_model(p, s, cfg, b)[0].sigm)
 

@@ -81,10 +81,28 @@ def apply_mutan(params, lang_feat, spatial_feat, visual_feat,
     sum_h tanh(conv_h([vis, spatial])) * tanh(conv_h(lang)), tanh, l2norm.
 
     Runs as ONE fused Pallas kernel on TPU (ops/pallas_kernels.py): the
-    [B,HW,5C] tanh intermediate never reaches HBM."""
-    from cmpc_refseg_tpu.ops.pallas_kernels import mutan_fused
+    [B,HW,5C] tanh intermediate never reaches HBM.  When the params carry a
+    'pad' view (model.prepare_params, inference flows), the lane-aligned
+    fast path is used — no in-jit padding at all."""
+    from cmpc_refseg_tpu.ops.pallas_kernels import (mutan_fused,
+                                                    mutan_fused_padded)
     nh = num_heads
-    b, h, w, _ = visual_feat.shape
+    b, h, w, c_vis = visual_feat.shape
+    pad = params.get("pad")
+    if pad is not None:
+        kp = pad["w_wide"].shape[0]
+        extra = kp - c_vis - spatial_feat.shape[-1]
+        dt = visual_feat.dtype
+        vis_in = jnp.concatenate(
+            [visual_feat, spatial_feat.astype(dt),
+             jnp.zeros((b, h, w, extra), dt)], axis=-1)      # aligned [.,Kp]
+        lang = jnp.tanh(conv2d({"DW": pad["lang_dw"],
+                                "biases": pad["lang_b"]}, lang_feat))
+        out = mutan_fused_padded(vis_in.reshape(b, h * w, kp),
+                                 pad["w_wide"], pad["b_pad"],
+                                 lang.reshape(b, -1),
+                                 num_heads=nh, c=c_vis)
+        return out.reshape(b, h, w, c_vis)
     vis_in = jnp.concatenate(
         [visual_feat, spatial_feat.astype(visual_feat.dtype)], axis=-1)
     lang = jnp.tanh(conv2d(params["lang_trans"], lang_feat))  # [B,1,1,5C]

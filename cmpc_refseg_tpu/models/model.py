@@ -40,6 +40,7 @@ class ModelOutputs(NamedTuple):
     up_levels: dict                   # {level: [B,H,W,1]} aux logits
     words_parse: jnp.ndarray          # [B,1,T,K]
     gw: dict                          # {level: (w_aff, v_aff)} graph attn
+    bbox: Optional[tuple] = None      # (raw, decoded) when cfg.bbox_head
 
 
 def rgb_to_hsv(rgb: jnp.ndarray) -> jnp.ndarray:
@@ -85,6 +86,10 @@ def init_model(key, cfg: ModelConfig, glove=None):
         params["scores"][f"score_{lv}"] = init_conv(
             lkeys[3 * i + 2], 3, cfg.mlp_dim, 1)
 
+    if cfg.bbox_head:
+        from cmpc_refseg_tpu.models.detection import init_bbox_head
+        params["bbox"] = init_bbox_head(keys[8], cfg)
+
     if cfg.decoder == "multiscore":
         params["scores"]["score"] = init_conv(keys[5], 3, cfg.mlp_dim, 1)
     elif cfg.decoder == "aspp_v3plus":
@@ -95,6 +100,30 @@ def init_model(key, cfg: ModelConfig, glove=None):
     else:
         raise ValueError(f"unknown decoder {cfg.decoder!r}")
     return params, state
+
+
+def prepare_params(params, cfg: ModelConfig):
+    """Augment params with precomputed inference-only views: lane-aligned
+    padded mutan weights for the Pallas fast path (ops/pallas_kernels.py
+    pad_mutan_params).  Call once after init/restore for eval, serving and
+    benchmarking flows; training keeps raw params (gradients must flow into
+    the canonical weights)."""
+    import jax as _jax
+    if _jax.devices()[0].platform != "tpu":
+        return params
+    from cmpc_refseg_tpu.ops.pallas_kernels import pad_mutan_params
+    cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    params = dict(params)
+    params["levels"] = {
+        lv: dict(level) for lv, level in params["levels"].items()}
+    for level in params["levels"].values():
+        for key in ("mutan", "sent_mutan"):
+            if key in level:
+                m = dict(level[key])
+                m["pad"] = pad_mutan_params(m["vis_trans"], m["lang_trans"],
+                                            compute_dtype=cd)
+                level[key] = m
+    return params
 
 
 # ---------------------------------------------------------------------------
@@ -181,7 +210,17 @@ def apply_model(params, state, cfg: ModelConfig, batch: dict, *,
 
     up = resize_bilinear(pred, cfg.H, cfg.W)
     sigm = jax.nn.sigmoid(up)
-    return ModelOutputs(pred, up, sigm, up_levels, words_parse, gw), new_state
+
+    bbox = None
+    if cfg.bbox_head:
+        from cmpc_refseg_tpu.models.detection import apply_bbox_head
+        from cmpc_refseg_tpu.data.anchors import DEFAULT_ANCHORS
+        anchors = batch.get("anchors", jnp.asarray(
+            DEFAULT_ANCHORS[:cfg.num_anchors], jnp.float32))
+        bbox = apply_bbox_head(params["bbox"], fused, anchors,
+                               stride=cfg.H // cfg.vf_h)
+    return ModelOutputs(pred, up, sigm, up_levels, words_parse, gw,
+                        bbox), new_state
 
 
 # ---------------------------------------------------------------------------
@@ -219,9 +258,12 @@ def _collect_reg_leaves(params, cfg):
 
 
 def compute_loss(outputs: ModelOutputs, target_fine: jnp.ndarray,
-                 cfg: ModelConfig, params=None):
+                 cfg: ModelConfig, params=None, *, label_bbox=None,
+                 true_bbox=None, bbox_loss_weight: float = 1.0):
     """4-term weighed logistic loss + L2 reg (CMPC_model.py:439-447).
-    loss_weights align to (main, c5, c4, c3) / (main, c5, c4)."""
+    loss_weights align to (main, c5, c4, c3) / (main, c5, c4).  With
+    cfg.bbox_head and bbox labels, adds the YOLO-style detection loss
+    (v5+ driver surface, trainval_model_v5+.py)."""
     metrics = {}
     main = loss_ops.weighed_logistic_loss(outputs.up, target_fine, 1, 1)
     metrics["loss_main"] = main
@@ -233,6 +275,13 @@ def compute_loss(outputs: ModelOutputs, target_fine: jnp.ndarray,
         metrics[f"loss_{lv}"] = lv_loss
         total = total + wgt * lv_loss
     metrics["loss_cls_all"] = total
+    if (cfg.bbox_head and outputs.bbox is not None
+            and label_bbox is not None):
+        from cmpc_refseg_tpu.models.detection import bbox_loss as _bl
+        raw, decoded = outputs.bbox
+        det = _bl(raw, decoded, label_bbox, true_bbox, input_size=cfg.H)
+        metrics["loss_bbox"] = det
+        total = total + bbox_loss_weight * det
     if params is not None:
         reg = loss_ops.l2_regularization_loss(
             _collect_reg_leaves(params, cfg), cfg.weight_decay)

@@ -30,97 +30,184 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _mutan_kernel(x_ref, w_ref, b_ref, lang_ref, out_ref, acc_ref,
-                  *, num_heads: int, epsilon: float):
-    """Grid (m_tiles, heads), heads innermost; all refs FLAT 2-D blocks.
-    (A leading unit block dim measurably deoptimizes Mosaic's matmul:
-    2.1x slower at the reference geometry.)"""
-    h = pl.program_id(1)
-
-    part = jnp.dot(x_ref[:, :], w_ref[:, :],
-                   preferred_element_type=jnp.float32)      # [TM, C] f32
-    # b_ref [H, C] and lang_ref [1, H, C] ride along whole; select row h via
-    # a one-hot reduce (Mosaic cannot prove dynamic sublane alignment)
-    onehot = (jax.lax.broadcasted_iota(jnp.int32, (num_heads, 1), 0)
-              == h).astype(jnp.float32)
-    b_h = jnp.sum(b_ref[:, :] * onehot, axis=0)             # [C]
-    lang_h = jnp.sum(lang_ref[0].astype(jnp.float32) * onehot, axis=0)
-    part = jnp.tanh(part + b_h) * lang_h
-
-    @pl.when(h == 0)
-    def _():
-        acc_ref[:, :] = part
-
-    @pl.when(h > 0)
-    def _():
-        acc_ref[:, :] = acc_ref[:, :] + part
-
-    @pl.when(h == num_heads - 1)
-    def _():
-        y = jnp.tanh(acc_ref[:, :])
-        sq = jnp.sum(y * y, axis=-1, keepdims=True)
-        inv = jax.lax.rsqrt(jnp.maximum(sq, epsilon))
-        out_ref[:, :] = (y * inv).astype(out_ref.dtype)
-
-
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def pad_mutan_params(vis_trans: dict, lang_trans: dict, num_heads: int = 5,
+                     compute_dtype=jnp.bfloat16):
+    """One-time host-side padding of mutan weights to lane-aligned shapes.
+
+    Padding the weights INSIDE jit costs ~2.4ms/call at the reference
+    geometry (XLA inserts a relayout copy feeding the pallas custom call);
+    done once at parameter-prep time it is free.  Returns a dict consumed by
+    apply_mutan's fast path:
+      w_wide [Kp, H*Cp] compute_dtype, b_pad [H, Cp] f32,
+      lang_dw [1,1,Ld,H*Cp], lang_b [H*Cp] (zero pad cols -> lang pads are
+      tanh(0)=0, which the kernel multiplies to zero).
+    """
+    w = np.asarray(vis_trans["DW"])[0, 0]                    # [K, H*C]
+    b = np.asarray(vis_trans["biases"])
+    k, hc = w.shape
+    c = hc // num_heads
+    kp, cp = _round_up(k, 128), _round_up(c, 128)
+    wp = np.zeros((kp, num_heads, cp), np.float32)
+    wp[:k, :, :c] = w.reshape(k, num_heads, c)
+    bp = np.zeros((num_heads, cp), np.float32)
+    bp[:, :c] = b.reshape(num_heads, c)
+    ldw = np.asarray(lang_trans["DW"])                       # [1,1,Ld,H*C]
+    lb = np.asarray(lang_trans["biases"])
+    ldw_p = np.zeros(ldw.shape[:3] + (num_heads, cp), np.float32)
+    ldw_p[..., :c] = ldw.reshape(ldw.shape[:3] + (num_heads, c))
+    lb_p = np.zeros((num_heads, cp), np.float32)
+    lb_p[:, :c] = lb.reshape(num_heads, c)
+    # arrays only (ints would become traced pytree leaves); the logical C
+    # is recovered from the visual feature width at apply time
+    return {
+        "w_wide": jnp.asarray(wp.reshape(kp, num_heads * cp), compute_dtype),
+        "b_pad": jnp.asarray(bp),
+        "lang_dw": jnp.asarray(ldw_p.reshape(
+            ldw.shape[:3] + (num_heads * cp,))),
+        "lang_b": jnp.asarray(lb_p.reshape(num_heads * cp)),
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "c", "interpret"))
+def mutan_fused_padded(x, w_wide, b_pad, lang_pad, *, num_heads: int,
+                       c: int, interpret: bool = False):
+    """Fast path with pre-padded weights: x [B,N,Kp] (already lane-aligned),
+    w_wide [Kp, H*Cp], b_pad [H,Cp], lang_pad [B,H*Cp] -> [B,N,c]."""
+    bsz, n, kp = x.shape
+    cp = w_wide.shape[-1] // num_heads
+    x_flat = x.reshape(bsz * n, kp)
+    l_pad = lang_pad.reshape(bsz, num_heads, cp).astype(jnp.float32)
+
+    w_bytes = kp * num_heads * cp * x.dtype.itemsize
+    budget = 15 * 1024 * 1024 - w_bytes
+    per_row = (kp * x.dtype.itemsize + num_heads * cp * 4 + cp * 4
+               + cp * x.dtype.itemsize) * 2
+    cap = max(8, (budget // max(per_row, 1)) // 8 * 8)
+    tm = _pick_tm(n, min(256, cap))
+    rows_per_b = n
+
+    def kern(x_ref, w_ref, b_ref, l_ref, o_ref):
+        part = jnp.dot(x_ref[:, :], w_ref[:, :],
+                       preferred_element_type=jnp.float32)
+        acc = jnp.zeros((tm, cp), jnp.float32)
+        for h in range(num_heads):
+            seg = part[:, h * cp:(h + 1) * cp] + b_ref[h, :]
+            acc = acc + jnp.tanh(seg) * l_ref[0, h, :]
+        y = jnp.tanh(acc)
+        sq = jnp.sum(y * y, axis=-1, keepdims=True)
+        o_ref[:, :] = (y * jax.lax.rsqrt(jnp.maximum(sq, 1e-12))
+                       ).astype(o_ref.dtype)
+
+    out = pl.pallas_call(
+        kern,
+        grid=(bsz * n // tm,),
+        in_specs=[
+            pl.BlockSpec((tm, kp), lambda mi: (mi, 0)),
+            pl.BlockSpec((kp, num_heads * cp), lambda mi: (0, 0)),
+            pl.BlockSpec((num_heads, cp), lambda mi: (0, 0)),
+            pl.BlockSpec((1, num_heads, cp),
+                         lambda mi: (mi * tm // rows_per_b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((tm, cp), lambda mi: (mi, 0)),
+        out_shape=jax.ShapeDtypeStruct((bsz * n, cp), x.dtype),
+        interpret=interpret,
+    )(x_flat, w_wide, b_pad, l_pad)
+    return out[:, :c].reshape(bsz, n, c)
+
+
+def _pick_tm(rows_per_b: int, cap: int) -> int:
+    """Largest multiple-of-8 divisor of rows_per_b not exceeding cap (a tile
+    must not straddle batch elements — the lang block is selected per tile)."""
+    best = None
+    for cand in range(8, min(rows_per_b, cap) + 1, 8):
+        if rows_per_b % cand == 0:
+            best = cand
+    return best or rows_per_b
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
 def _mutan_fused_fwd(x, w, b, lang, *, num_heads: int = 5,
                      interpret: bool = False):
     """x [B,N,K] (bf16/f32), w [K, H*C], b [H*C] f32, lang [B,H*C] ->
-    [B,N,C] l2-normalized fused feature (x dtype)."""
+    [B,N,C] l2-normalized fused feature (x dtype).
+
+    Wide-N design: W (all heads, zero-padded to lane width) stays resident
+    in VMEM across the whole grid (constant index map); each grid step does
+    ONE [tm, Kp] x [Kp, H*Cp] MXU dot and the per-head tanh/product/reduce
+    epilogue on the VPU — measured matmul-bound (~2x the per-head streaming
+    formulation, ~4x XLA) at the reference geometry.
+    """
     bsz, n, k = x.shape
     c = w.shape[-1] // num_heads
-
     kp = _round_up(k, 128)
-    if kp != k:  # pad contraction dim to the lane width
+    cp = _round_up(c, 128)
+
+    if kp != k:
         x = jnp.pad(x, ((0, 0), (0, 0), (0, kp - k)))
-        w = jnp.pad(w, ((0, kp - k), (0, 0)))
-
-    # M tile: a divisor of per-batch rows (a tile must not straddle batch
-    # elements — the lang block is selected per tile), multiple of 8,
-    # capped so x + w + f32 acc + out fit VMEM (~16MB).
-    tm = n
-    for cand in (800, 512, 400, 256, 200, 128, 100, 64, 32, 16, 8):
-        if n % cand == 0:
-            tm = cand
-            break
-    m_tiles_total = bsz * (n // tm)
-
     x_flat = x.reshape(bsz * n, kp)
-    w_heads = w.reshape(kp, num_heads, c).swapaxes(0, 1)     # [H, K, C]
-    w_heads = w_heads.astype(x.dtype)
-    b_heads = b.reshape(num_heads, c).astype(jnp.float32)
-    lang_heads = lang.reshape(bsz, num_heads, c)
+
+    # zero-pad per-head blocks: K rows to Kp, C cols to Cp.  Pad columns
+    # produce acc=0 -> tanh(0)=0, so the l2-norm over Cp equals the norm
+    # over C; pad K rows are zeros so padded x lanes contribute nothing.
+    w_pad = jnp.zeros((kp, num_heads, cp), w.dtype)
+    w_pad = w_pad.at[:k, :, :c].set(w.reshape(k, num_heads, c))
+    w_wide = w_pad.reshape(kp, num_heads * cp).astype(x.dtype)
+    b_pad = jnp.zeros((num_heads, cp), jnp.float32
+                      ).at[:, :c].set(b.reshape(num_heads, c))
+    l_pad = jnp.zeros((bsz, num_heads, cp), jnp.float32
+                      ).at[:, :, :c].set(
+                          lang.reshape(bsz, num_heads, c).astype(jnp.float32))
+
+    # VMEM budget: W + per-tile x + part f32 [tm, H*Cp] + acc/out.
+    w_bytes = kp * num_heads * cp * x.dtype.itemsize
+    if w_bytes > 12 * 1024 * 1024:
+        # W cannot stay VMEM-resident (e.g. f32 inputs at BERT dims); the
+        # XLA path is preferable to a thrashing kernel.
+        return _mutan_reference(x[..., :k], w, b, lang, num_heads)
+    budget = 15 * 1024 * 1024 - w_bytes
+    per_row = (kp * x.dtype.itemsize + num_heads * cp * 4 + cp * 4
+               + cp * x.dtype.itemsize) * 2   # x2 for pipeline buffers
+    cap = max(8, (budget // max(per_row, 1)) // 8 * 8)
+    tm = _pick_tm(n, min(256, cap))
     rows_per_b = n
 
+    def kern(x_ref, w_ref, b_ref, l_ref, o_ref):
+        part = jnp.dot(x_ref[:, :], w_ref[:, :],
+                       preferred_element_type=jnp.float32)  # [tm, H*Cp]
+        acc = jnp.zeros((tm, cp), jnp.float32)
+        for h in range(num_heads):
+            seg = part[:, h * cp:(h + 1) * cp] + b_ref[h, :]
+            acc = acc + jnp.tanh(seg) * l_ref[0, h, :]
+        y = jnp.tanh(acc)
+        sq = jnp.sum(y * y, axis=-1, keepdims=True)
+        o_ref[:, :] = (y * jax.lax.rsqrt(jnp.maximum(sq, 1e-12))
+                       ).astype(o_ref.dtype)
+
     out = pl.pallas_call(
-        functools.partial(_mutan_kernel, num_heads=num_heads,
-                          epsilon=1e-12),
-        grid=(m_tiles_total, num_heads),
+        kern,
+        grid=(bsz * n // tm,),
         in_specs=[
-            pl.BlockSpec((tm, kp), lambda mi, hi: (mi, 0)),
-            pl.BlockSpec((None, kp, c), lambda mi, hi: (hi, 0, 0)),
-            pl.BlockSpec((num_heads, c), lambda mi, hi: (0, 0)),
-            pl.BlockSpec((1, num_heads, c),
-                         lambda mi, hi: (mi * tm // rows_per_b, 0, 0)),
+            pl.BlockSpec((tm, kp), lambda mi: (mi, 0)),
+            pl.BlockSpec((kp, num_heads * cp), lambda mi: (0, 0)),
+            pl.BlockSpec((num_heads, cp), lambda mi: (0, 0)),
+            pl.BlockSpec((1, num_heads, cp),
+                         lambda mi: (mi * tm // rows_per_b, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((tm, c), lambda mi, hi: (mi, 0)),
-        out_shape=jax.ShapeDtypeStruct((bsz * n, c), x.dtype),
-        scratch_shapes=[pltpu.VMEM((tm, c), jnp.float32)],
+        out_specs=pl.BlockSpec((tm, cp), lambda mi: (mi, 0)),
+        out_shape=jax.ShapeDtypeStruct((bsz * n, cp), x.dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * bsz * n * kp * num_heads * c,
-            bytes_accessed=(x.size * x.dtype.itemsize
-                            + w.size * x.dtype.itemsize * m_tiles_total
-                            + bsz * n * c * x.dtype.itemsize),
-            transcendentals=bsz * n * c * (num_heads + 1),
+            flops=2 * bsz * n * kp * num_heads * cp,
+            bytes_accessed=(x_flat.size * x.dtype.itemsize + w_bytes
+                            + bsz * n * cp * x.dtype.itemsize),
+            transcendentals=bsz * n * cp * (num_heads + 1),
         ),
-    )(x_flat, w_heads, b_heads, lang_heads)
-    return out.reshape(bsz, n, c)
+    )(x_flat, w_wide, b_pad, l_pad)
+    return out[:, :c].reshape(bsz, n, c)
 
 
 def _mutan_reference(x, w, b, lang, num_heads: int = 5):

@@ -70,7 +70,9 @@ def make_train_step(cfg: ModelConfig) -> Callable:
             b["im"] = brightness_aug(rng, b["im"])
         outputs, new_model_state = apply_model(params, model_state, cfg, b,
                                                train=True)
-        total, metrics = compute_loss(outputs, b["target"], cfg, params)
+        total, metrics = compute_loss(
+            outputs, b["target"], cfg, params,
+            label_bbox=b.get("label_bbox"), true_bbox=b.get("true_bbox"))
         # on-graph batch mIoU summary (CMPC_model.py:486-490)
         pred = outputs.up > 0
         labl = b["target"] > 0
