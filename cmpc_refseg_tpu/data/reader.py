@@ -69,9 +69,13 @@ class NpzReader(PrefetchReader):
     '<folder>/<prefix>_<n>.npz')."""
 
     def __init__(self, data_folder: str, data_prefix: str, shuffle=True,
-                 prefetch_num: int = 8, seed: int = 0):
+                 prefetch_num: int = 8, seed: int = 0, id2name=None):
+        """`id2name`: optional {str(sample_id): image_name} map attached to
+        each sample as 'img_name' (reference util/data_reader_ignore.py:8-23,
+        used by visualization drivers to name their dumps)."""
         self.data_folder = data_folder
         self.data_prefix = data_prefix
+        self.id2name = id2name
         n = 0
         while os.path.isfile(self._path(n)):
             n += 1
@@ -85,7 +89,10 @@ class NpzReader(PrefetchReader):
 
     def _load(self, i: int) -> dict:
         with np.load(self._path(i), allow_pickle=True) as z:
-            return {k: z[k] for k in z.files}
+            out = {k: z[k] for k in z.files}
+        if self.id2name is not None:
+            out["img_name"] = self.id2name[str(i)]
+        return out
 
 
 def batch_iterator(reader: PrefetchReader, batch_size: int,

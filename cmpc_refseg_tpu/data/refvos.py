@@ -109,3 +109,64 @@ class RefVOSReader:
         return self._reader.read_batch(
             batch_size,
             keys=["text_batch", "im_batch", "seq_length", "mask_batch"])
+
+
+class RefVOSBertReader:
+    """RefVOS reader with precomputed per-expression BERT features
+    (reference util/data_reader_refvos_bert.py:29-70): metadata records are
+    [im, mask, expression, obj_id, eid]; features live at
+    ``bert_dir/{video}_{eid}.npz`` with keys 'feature' [T,768] and
+    'mask' [T]."""
+
+    def __init__(self, im_dir: str, mask_dir: str, bert_dir: str,
+                 metadata_path: str, shuffle=True, prefetch_num: int = 8,
+                 T: int = 20, input_h: int = 320, input_w: int = 320,
+                 seed: int = 0):
+        from cmpc_refseg_tpu.data.reader import PrefetchReader
+        self.im_dir = im_dir
+        self.mask_dir = mask_dir
+        self.bert_dir = bert_dir
+        with open(metadata_path) as f:
+            self.metadata = json.load(f)
+        self.T = T
+        self.input_h = input_h
+        self.input_w = input_w
+        self._reader = PrefetchReader(len(self.metadata), self._load,
+                                      shuffle, prefetch_num, seed)
+        self.num_batch = len(self.metadata)
+
+    def _load(self, i: int) -> dict:
+        im_name, mask_name, sent, obj_id, eid = self.metadata[i][:5]
+        vid = im_name.split("/")[0]
+        feats = np.load(os.path.join(self.bert_dir, f"{vid}_{eid}.npz"))
+        im = _imread(os.path.join(self.im_dir, im_name))
+        mask_rgb = _imread(os.path.join(self.mask_dir, mask_name))[:, :, :3]
+        mask_obj = decode_object_mask(mask_rgb, obj_id)
+        im_out = im_proc.resize_and_pad(
+            im.astype(np.float32), self.input_h, self.input_w)
+        mask_out = im_proc.resize_and_pad(
+            mask_obj.astype(np.float32), self.input_h, self.input_w) > 0
+
+        feature = np.asarray(feats["feature"], np.float32)
+        seq_mask = np.asarray(feats["mask"], np.float32).reshape(-1)
+        # pad/truncate to T
+        t = feature.shape[0]
+        if t >= self.T:
+            feature, seq_mask = feature[:self.T], seq_mask[:self.T]
+        else:
+            feature = np.pad(feature, ((0, self.T - t), (0, 0)))
+            seq_mask = np.pad(seq_mask, (0, self.T - t))
+        return {
+            "im_batch": im_out,
+            "mask_batch": mask_out,
+            "words_feat": feature,
+            "sequence_mask": seq_mask,
+        }
+
+    def read_batch(self) -> dict:
+        return self._reader.read()
+
+    def read_collated(self, batch_size: int) -> dict:
+        return self._reader.read_batch(
+            batch_size,
+            keys=["im_batch", "mask_batch", "words_feat", "sequence_mask"])

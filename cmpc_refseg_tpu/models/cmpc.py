@@ -379,6 +379,40 @@ def convlstm_step(p, x, c, h, *, forget_bias: float = 1.0):
     return new_c, new_h
 
 
+# --- ConvGRU cell (util/cell.py:82-143) — alternative recurrent fuser -------
+
+def init_convgru(key, cfg):
+    from cmpc_refseg_tpu.ops.layers import glorot_uniform
+    c = cfg.mlp_dim
+    k1, k2 = split_stream(key, 2)
+    return {
+        "gates_kernel": glorot_uniform(k1, (1, 1, 2 * c, 2 * c)),
+        "cand_kernel": glorot_uniform(k2, (1, 1, 2 * c, c)),
+        # layer norms in call order: r, u, candidate (util/cell.py:119-121,139)
+        "ln": [init_layer_norm(c) for _ in range(3)],
+    }
+
+
+def convgru_step(p, x, h):
+    """One ConvGRU step (util/cell.py:110-143, normalize=True semantics):
+    gates conv -> split(r,u) -> whole-sample layer norm -> sigmoid;
+    candidate conv on [x, r*h] -> layer norm -> tanh; h' = u*h + (1-u)*cand.
+    1x1 kernels lower to channel matmuls on the MXU."""
+    dt = x.dtype
+    z = jnp.concatenate([x, h], axis=-1)
+    y = jnp.einsum("bhwc,cd->bhwd", z, p["gates_kernel"][0, 0].astype(dt),
+                   preferred_element_type=jnp.float32).astype(dt)
+    r, u = jnp.split(y, 2, axis=-1)
+    ln = p["ln"]
+    r = jax.nn.sigmoid(tf1_layer_norm(r, ln[0]["gamma"], ln[0]["beta"]))
+    u = jax.nn.sigmoid(tf1_layer_norm(u, ln[1]["gamma"], ln[1]["beta"]))
+    z2 = jnp.concatenate([x, r * h], axis=-1)
+    cand = jnp.einsum("bhwc,cd->bhwd", z2, p["cand_kernel"][0, 0].astype(dt),
+                      preferred_element_type=jnp.float32).astype(dt)
+    cand = jnp.tanh(tf1_layer_norm(cand, ln[2]["gamma"], ln[2]["beta"]))
+    return u * h + (1 - u) * cand
+
+
 def init_fusion_stack(key, cfg):
     """Two rounds of gated exchange over the levels + ConvLSTM fusion
     (CMPC_model.py:261-293 / CMPCv4_model.py:339-378)."""
