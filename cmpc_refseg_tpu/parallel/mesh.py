@@ -49,3 +49,29 @@ def shard_batch(batch: dict, mesh: Mesh, *, axis: str = "data") -> dict:
     Host arrays must have batch divisible by the axis size."""
     sh = data_sharding(mesh, axis=axis)
     return {k: jax.device_put(v, sh) for k, v in batch.items()}
+
+
+def tp_shardings(tree, mesh: Mesh, *, axis: str = "model",
+                 min_dim: int = 512):
+    """Tensor-parallel sharding pytree: every array leaf whose LAST dim is
+    divisible by the 'model' axis size and >= min_dim is sharded over that
+    axis (output-channel parallelism — the natural TP layout for this
+    model's 1x1-conv/matmul-dominated head: XLA partitions the matmuls and
+    inserts the all-gathers/psums over ICI); everything else replicates.
+
+    Apply to params/optimizer state with ``jax.device_put(tree,
+    tp_shardings(tree, mesh))``; jit then infers shardings from inputs.
+    """
+    if axis not in mesh.axis_names:
+        raise ValueError(f"mesh has no {axis!r} axis: {mesh.axis_names}")
+    size = mesh.shape[axis]
+
+    def leaf_sharding(x):
+        shape = getattr(x, "shape", ())
+        if (len(shape) >= 1 and shape[-1] >= min_dim
+                and shape[-1] % size == 0):
+            spec = [None] * (len(shape) - 1) + [axis]
+            return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(leaf_sharding, tree)

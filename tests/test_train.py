@@ -145,6 +145,27 @@ class TestDataParallel:
                                    float(m_sharded["train_mIoU"]),
                                    rtol=1e-4)
 
+    def test_tensor_parallel_step_matches_single_device(self, rng):
+        """2-D (data=4, model=2) mesh with big leaves sharded over 'model'
+        must reproduce the unsharded loss (GSPMD TP correctness)."""
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from cmpc_refseg_tpu.parallel.mesh import (make_mesh, shard_batch,
+                                                   tp_shardings)
+        cfg = get_config("CMPC_model", **{**TINY, "batch_size": 8})
+        state = create_train_state(jax.random.PRNGKey(0), cfg)
+        step_fn = make_train_step(cfg)
+        batch = make_batch(cfg, rng, b=8)
+        _, m_single = step_fn(state, batch)
+
+        mesh = make_mesh(8, axis_names=("data", "model"), shape=(4, 2))
+        state2 = create_train_state(jax.random.PRNGKey(0), cfg)
+        state2 = jax.device_put(state2, tp_shardings(state2, mesh,
+                                                     min_dim=16))
+        _, m_tp = step_fn(state2, shard_batch(batch, mesh))
+        np.testing.assert_allclose(float(m_single["loss_cls_all"]),
+                                   float(m_tp["loss_cls_all"]), rtol=1e-4)
+
     def test_sharded_eval_matches_host_accumulation(self, rng):
         """evaluate_sharded over the 8-device mesh == per-sample numpy IoU."""
         if len(jax.devices()) < 8:
