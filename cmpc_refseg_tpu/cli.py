@@ -61,6 +61,13 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="float32|bfloat16 (default: bf16 on TPU)")
     p.add_argument("-mesh", dest="mesh_devices", type=int, default=0,
                    help="data-parallel devices (0 = all)")
+    # model-dimension overrides (ablations / debugging / CI smoke runs)
+    p.add_argument("-rnn_size", type=int, default=None)
+    p.add_argument("-v_emb_dim", type=int, default=None)
+    p.add_argument("-mlp_dim", type=int, default=None)
+    p.add_argument("-glove_dim", type=int, default=None)
+    p.add_argument("-res4_blocks", type=int, default=None)
+    p.add_argument("-vocab_size", type=int, default=None)
     return p
 
 
@@ -79,11 +86,16 @@ def make_config(args):
     emb_name = args.emb_name or emb_default
     on_tpu = any(d.platform == "tpu" for d in jax.devices())
     dtype = args.compute_dtype or ("bfloat16" if on_tpu else "float32")
+    overrides = {k: getattr(args, k) for k in
+                 ("rnn_size", "v_emb_dim", "mlp_dim", "glove_dim",
+                  "res4_blocks", "vocab_size")
+                 if getattr(args, k, None) is not None}
     cfg = get_config(
         args.model_name, batch_size=args.batch_size,
         num_steps=args.num_steps, H=args.H, W=args.W,
-        vocab_size=vocab_size, start_lr=args.start_lr, conv5=args.conv5,
-        compute_dtype=dtype)
+        vocab_size=overrides.pop("vocab_size", vocab_size),
+        start_lr=args.start_lr, conv5=args.conv5,
+        compute_dtype=dtype, **overrides)
     return cfg, emb_name
 
 
@@ -179,8 +191,10 @@ def run_test(args):
             state = restore_checkpoint(args.pretrain or args.ckpt_dir, state)
         except FileNotFoundError:
             print("[warn] no checkpoint found; evaluating random init")
+    from cmpc_refseg_tpu.models.model import prepare_params
     from cmpc_refseg_tpu.train.optimizer import merge_params
-    params = merge_params(state.trainable, state.frozen)
+    params = jax.device_put(prepare_params(
+        merge_params(state.trainable, state.frozen), cfg))
     samples = npz_eval_samples(args.data_folder, args.dataset, args.split,
                                cfg)
     results = evaluate(cfg, params, state.model_state, samples,

@@ -41,12 +41,20 @@ class PrefetchReader:
         while True:
             if pos == 0 and self.shuffle:
                 order = self._rng.permutation(self.num_samples)
-            sample = self.load_fn(int(order[pos]))
+            try:
+                sample = self.load_fn(int(order[pos]))
+            except BaseException as e:  # propagate to the consumer —
+                # a silently dead worker deadlocks read() forever
+                self._queue.put(e, block=True)
+                return
             self._queue.put(sample, block=True)
             pos = (pos + 1) % self.num_samples
 
     def read(self) -> dict:
         sample = self._queue.get(block=True)
+        if isinstance(sample, BaseException):
+            raise RuntimeError(
+                f"prefetch worker failed: {sample!r}") from sample
         self.n_batch = (self.n_batch + 1) % self.num_samples
         self.n_epoch += (self.n_batch == 0)
         return sample

@@ -1,0 +1,74 @@
+"""End-to-end CLI smoke: train a few iterations on a fake RefVOS dataset,
+snapshot, then evaluate fake npz batches — the full user flow of
+`cmpc-refseg -m train` / `-m test` (reference trainval_model.py CLI)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def fake_refvos(tmp_path):
+    from PIL import Image
+    from cmpc_refseg_tpu.data.refvos import OBJECT_COLOR
+    root = str(tmp_path)
+    im_dir = os.path.join(root, "JPEGImages")
+    mask_dir = os.path.join(root, "Annotations")
+    os.makedirs(os.path.join(im_dir, "v0"))
+    os.makedirs(os.path.join(mask_dir, "v0"))
+    rng = np.random.default_rng(0)
+    meta = []
+    for i in range(2):
+        im = rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)
+        Image.fromarray(im).save(os.path.join(im_dir, "v0", f"f{i}.jpg"))
+        mask = np.zeros((48, 64, 3), np.uint8)
+        mask[10:30, 20:50] = OBJECT_COLOR["1"]
+        Image.fromarray(mask).save(os.path.join(mask_dir, "v0", f"f{i}.png"))
+        meta.append([f"v0/f{i}.jpg", f"v0/f{i}.png", "the red box", "1"])
+    meta_path = os.path.join(root, "meta.json")
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    vocab_path = os.path.join(root, "vocab.txt")
+    with open(vocab_path, "w") as f:
+        f.write("\n".join(["<pad>", "<go>", "<eos>", "the", "red", "box",
+                           "<unk>"]))
+    return dict(im_dir=im_dir, mask_dir=mask_dir, meta=meta_path,
+                vocab=vocab_path, root=root)
+
+
+def test_cli_train_then_eval(fake_refvos, tmp_path, capsys):
+    from cmpc_refseg_tpu.cli import main
+
+    ckpt_dir = os.path.join(str(tmp_path), "ckpt")
+    log_dir = os.path.join(str(tmp_path), "logs")
+    tiny = ["-H", "32", "-W", "32", "-T", "8", "-rnn_size", "16",
+            "-v_emb_dim", "16", "-mlp_dim", "12", "-glove_dim", "8",
+            "-res4_blocks", "2", "-vocab_size", "7"]
+    main(["-m", "train", "-d", "refvos", "-t", "train", "-n", "CMPC_model",
+          "-im_dir", fake_refvos["im_dir"], "-mask_dir",
+          fake_refvos["mask_dir"], "-meta", fake_refvos["meta"],
+          "-vocab", fake_refvos["vocab"], "-emb_dir", fake_refvos["root"],
+          "-bs", "1", "-st", "2", "-s", "2", "-ckpt_dir", ckpt_dir,
+          "-log_dir", log_dir, "-mesh", "1"] + tiny)
+    # snapshot written
+    from cmpc_refseg_tpu.train.checkpoint import latest_step
+    assert latest_step(ckpt_dir) == 2
+
+    # fake npz eval set (reference build_batches layout)
+    eval_dir = os.path.join(str(tmp_path), "unc", "val_batch")
+    os.makedirs(eval_dir)
+    rng = np.random.default_rng(1)
+    for i in range(2):
+        text = np.zeros((8,), np.int32)
+        text[:3] = [3, 4, 5]
+        np.savez(os.path.join(eval_dir, f"unc_val_{i}.npz"),
+                 text_batch=text,
+                 im_batch=rng.integers(0, 255, (40, 56, 3), dtype=np.uint8),
+                 mask_batch=(rng.random((40, 56)) > 0.5))
+    main(["-m", "test", "-d", "unc", "-t", "val", "-n", "CMPC_model",
+          "-f", str(tmp_path), "-ckpt_dir", ckpt_dir,
+          "-emb_dir", fake_refvos["root"]] + tiny)
+    out = capsys.readouterr().out
+    assert "overall IoU" in out and "mean IoU" in out

@@ -77,3 +77,17 @@ def test_convgru_step_shapes_and_gating(rng):
     # state evolves on a second step
     h2 = convgru_step(p, x, h1)
     assert not np.allclose(np.asarray(h1), np.asarray(h2))
+
+
+def test_prefetch_worker_error_propagates():
+    """A failing load_fn must surface in read(), not deadlock the consumer
+    (regression: the worker used to die silently)."""
+    import pytest
+    from cmpc_refseg_tpu.data.reader import PrefetchReader
+
+    def bad_load(i):
+        raise ValueError("boom")
+
+    r = PrefetchReader(3, bad_load, shuffle=False, prefetch_num=2)
+    with pytest.raises(RuntimeError, match="prefetch worker failed"):
+        r.read()
