@@ -128,6 +128,12 @@ def main(argv=None):
     ap.add_argument("-log_dir", dest="log_dir", default="./logs_video")
     ap.add_argument("-emb", dest="emb_name", default="Gref")
     ap.add_argument("-emb_dir", dest="emb_dir", default="data")
+    # geometry/dim overrides (ablations / CI smoke)
+    for flag in ("H", "W", "num_steps", "rnn_size", "v_emb_dim", "mlp_dim",
+                 "glove_dim", "res4_blocks", "vocab_size", "num_frames"):
+        ap.add_argument(f"-{flag}", type=int, default=None)
+    ap.add_argument("-sampled_frames", default=None,
+                    help="comma-separated frame indices (default 0,4,8,12,15)")
     args = ap.parse_args(argv)
 
     import jax
@@ -136,8 +142,16 @@ def main(argv=None):
     from cmpc_refseg_tpu.data.reader import NpzReader
 
     on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    overrides = {k: getattr(args, k) for k in
+                 ("H", "W", "num_steps", "rnn_size", "v_emb_dim", "mlp_dim",
+                  "glove_dim", "res4_blocks", "vocab_size", "num_frames")
+                 if getattr(args, k, None) is not None}
+    if args.sampled_frames:
+        overrides["sampled_frames"] = tuple(
+            int(x) for x in args.sampled_frames.split(","))
     cfg = get_config(args.model_name, batch_size=args.batch_size,
-                     compute_dtype="bfloat16" if on_tpu else "float32")
+                     compute_dtype="bfloat16" if on_tpu else "float32",
+                     **overrides)
     glove = load_glove(args.emb_dir, args.emb_name)
 
     split = "train" if args.mode == "train" else "test"

@@ -72,3 +72,35 @@ def test_cli_train_then_eval(fake_refvos, tmp_path, capsys):
           "-emb_dir", fake_refvos["root"]] + tiny)
     out = capsys.readouterr().out
     assert "overall IoU" in out and "mean IoU" in out
+
+
+def test_cli_video_train_then_eval(tmp_path, capsys):
+    """Video CLI end-to-end on fake A2D npz batches."""
+    from cmpc_refseg_tpu.cli_video import main as vmain
+    rng = np.random.default_rng(0)
+    for split in ("train", "test"):
+        d = os.path.join(str(tmp_path), f"{split}_batch")
+        os.makedirs(d)
+        for i in range(2):
+            text = np.zeros((6,), np.int32)
+            text[:2] = [3, 4]
+            mask = np.zeros((32, 32), bool)
+            mask[8:20, 8:24] = True
+            np.savez(os.path.join(d, f"a2d_{split}_{i}.npz"),
+                     text_batch=text, seq_length=np.asarray(2),
+                     mask_batch=mask,
+                     frames=rng.integers(0, 255, (4, 32, 32, 3),
+                                         dtype=np.uint8))
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    tiny = ["-H", "32", "-W", "32", "-num_steps", "6", "-rnn_size", "16",
+            "-v_emb_dim", "16", "-mlp_dim", "12", "-glove_dim", "8",
+            "-res4_blocks", "2", "-vocab_size", "30", "-num_frames", "4",
+            "-sampled_frames", "0,1,3"]
+    vmain(["-m", "train", "-f", str(tmp_path), "-i", "2", "-s", "2",
+           "-ckpt_dir", ckpt, "-log_dir",
+           os.path.join(str(tmp_path), "logs"),
+           "-emb_dir", str(tmp_path)] + tiny)
+    vmain(["-m", "test", "-f", str(tmp_path), "-ckpt_dir", ckpt,
+           "-emb_dir", str(tmp_path)] + tiny)
+    out = capsys.readouterr().out
+    assert "mean_iou" in out and "prec@0.95" in out

@@ -1,0 +1,64 @@
+"""Serving export roundtrips: StableHLO artifact and (if TF importable)
+SavedModel with the reference `predict_images` signature."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from cmpc_refseg_tpu.config import get_config
+from cmpc_refseg_tpu.models.model import init_model
+from cmpc_refseg_tpu.serving.export import (export_stablehlo, load_stablehlo,
+                                            make_predict_fn)
+
+TINY = dict(H=32, W=32, num_steps=6, vocab_size=30, glove_dim=8,
+            rnn_size=16, v_emb_dim=16, mlp_dim=12, batch_size=1,
+            res4_blocks=2)
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = get_config("CMPC_model", **TINY)
+    params, state = init_model(jax.random.PRNGKey(0), cfg)
+    return cfg, params, state
+
+
+def _inputs(cfg, rng):
+    words = np.zeros((1, cfg.num_steps), np.int32)
+    words[0, :3] = [3, 4, 5]
+    return (rng.standard_normal((1, cfg.H, cfg.W, 3)).astype(np.float32),
+            words, np.asarray([3], np.int32))
+
+
+def test_stablehlo_roundtrip(model, tmp_path, rng):
+    cfg, params, state = model
+    path = os.path.join(str(tmp_path), "model.stablehlo")
+    export_stablehlo(cfg, params, state, path)
+    assert os.path.getsize(path) > 1000
+
+    exported = load_stablehlo(path)
+    ims, words, sl = _inputs(cfg, rng)
+    got = np.asarray(exported.call(ims, words, sl))
+    want = np.asarray(make_predict_fn(cfg, params, state)(ims, words, sl))
+    assert got.shape == (1, cfg.H, cfg.W)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_savedmodel_signature(model, tmp_path, rng):
+    tf = pytest.importorskip("tensorflow")
+    cfg, params, state = model
+    from cmpc_refseg_tpu.serving.export import export_savedmodel
+    d = export_savedmodel(cfg, params, state, os.path.join(str(tmp_path),
+                                                           "sm"))
+    loaded = tf.saved_model.load(d)
+    sig = loaded.signatures["predict_images"]
+    # reference signature parity incl. the 'sequence_lenghts' typo
+    assert set(sig.structured_input_signature[1]) == {
+        "images", "sentences", "sequence_lenghts"}
+    ims, words, sl = _inputs(cfg, rng)
+    out = sig(images=tf.constant(ims), sentences=tf.constant(words),
+              sequence_lenghts=tf.constant(sl))
+    mask = list(out.values())[0].numpy()
+    want = np.asarray(make_predict_fn(cfg, params, state)(ims, words, sl))
+    np.testing.assert_allclose(mask, want, rtol=1e-4, atol=1e-4)
