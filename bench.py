@@ -14,6 +14,7 @@ secondary metric in the same JSON object.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -108,6 +109,38 @@ def main():
     except Exception as e:  # keep the primary metric alive regardless
         train_metrics = {"train_bench_error": str(e)[:120]}
 
+    video_metrics = {}
+    if os.environ.get("CMPC_BENCH_VIDEO"):
+        try:
+            from cmpc_refseg_tpu.models.video import (apply_video_model,
+                                                      init_video_model)
+            vcfg = get_config("CMPC_video_mm_tgraph_allvec", batch_size=1,
+                              compute_dtype=cfg.compute_dtype)
+            vparams, vstate = init_video_model(jax.random.PRNGKey(0), vcfg)
+            vparams, vstate = jax.device_put((vparams, vstate))
+            vwords = np.zeros((1, vcfg.num_steps), np.int32)
+            vwords[:, -4:] = rng.integers(3, 30, (1, 4))
+            vbatch = jax.device_put({
+                "clip": rng.standard_normal(
+                    (1, vcfg.num_frames, vcfg.H, vcfg.W, 3)
+                ).astype(np.float32),
+                "words": vwords,
+                "valid_idx": np.asarray([[vcfg.num_steps - 4]], np.int32)})
+
+            @jax.jit
+            def vfwd(p, s, b):
+                return apply_video_model(p, s, vcfg, b)[0].sigm
+            out = vfwd(vparams, vstate, vbatch)
+            jax.block_until_ready(out)
+            t0 = time.perf_counter()
+            for _ in range(10 if on_tpu else 1):
+                out = vfwd(vparams, vstate, vbatch)
+            jax.block_until_ready(out)
+            vdt = (time.perf_counter() - t0) / (10 if on_tpu else 1)
+            video_metrics["video_clips_per_sec"] = 1.0 / vdt
+        except Exception as e:
+            video_metrics["video_bench_error"] = str(e)[:120]
+
     result = {
         "metric": "masks_per_sec_per_chip",
         "value": round(masks_per_sec, 3),
@@ -117,6 +150,8 @@ def main():
     }
     result.update({k: (round(v, 4) if isinstance(v, float) else v)
                    for k, v in train_metrics.items()})
+    result.update({k: (round(v, 4) if isinstance(v, float) else v)
+                   for k, v in video_metrics.items()})
     print(json.dumps(result))
 
 
