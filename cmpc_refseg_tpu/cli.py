@@ -61,6 +61,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="float32|bfloat16 (default: bf16 on TPU)")
     p.add_argument("-mesh", dest="mesh_devices", type=int, default=0,
                    help="data-parallel devices (0 = all)")
+    p.add_argument("-workers", dest="num_workers", type=int, default=0,
+                   help="host input-pipeline worker PROCESSES "
+                        "(0 = min(8, cpu_count); 1 = single prefetch "
+                        "thread, deterministic order)")
     # model-dimension overrides (ablations / debugging / CI smoke runs)
     p.add_argument("-rnn_size", type=int, default=None)
     p.add_argument("-v_emb_dim", type=int, default=None)
@@ -110,10 +114,13 @@ def run_train(args):
     glove = load_glove(args.emb_dir, emb_name)
 
     if args.dataset == "refvos":
+        workers = args.num_workers or min(8, os.cpu_count() or 1)
         reader = RefVOSReader(
             im_dir=args.im_dir, mask_dir=args.mask_dir,
             metadata_path=args.meta, vocab_path=args.vocab,
-            T=cfg.num_steps, input_h=cfg.H, input_w=cfg.W)
+            T=cfg.num_steps, input_h=cfg.H, input_w=cfg.W,
+            prefetch_num=4 * max(workers, 1),
+            num_workers=workers)
     else:
         from cmpc_refseg_tpu.data.reader import NpzReader
 

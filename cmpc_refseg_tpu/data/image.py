@@ -35,8 +35,21 @@ def _resize_float(im: np.ndarray, out_h: int, out_w: int,
         factors = (in_h / out_h, in_w / out_w)
         sigmas = [max(0.0, (f - 1) / 2) for f in factors]
         if any(s > 0 for s in sigmas):
-            full_sigma = sigmas + [0.0] * (im.ndim - 2)
-            im = ndi.gaussian_filter(im, sigma=full_sigma, mode="nearest")
+            if _HAS_CV2:
+                # cv2's separable SIMD blur: ~30x faster than
+                # scipy.ndimage.gaussian_filter on VOS-sized frames (the
+                # gaussian prefilter dominated the whole input pipeline).
+                # Same sampled-gaussian kernel and replicate border as
+                # scipy's mode='nearest'; scipy radius = int(4*sigma+0.5).
+                ky = 2 * int(4.0 * sigmas[0] + 0.5) + 1 if sigmas[0] else 1
+                kx = 2 * int(4.0 * sigmas[1] + 0.5) + 1 if sigmas[1] else 1
+                im = cv2.GaussianBlur(
+                    im, (kx, ky), sigmaX=sigmas[1] or 1e-9,
+                    sigmaY=sigmas[0] or 1e-9,
+                    borderType=cv2.BORDER_REPLICATE)
+            else:
+                full_sigma = sigmas + [0.0] * (im.ndim - 2)
+                im = ndi.gaussian_filter(im, sigma=full_sigma, mode="nearest")
     if _HAS_CV2:
         out = cv2.resize(im, (out_w, out_h), interpolation=cv2.INTER_LINEAR)
         if im.ndim == 3 and out.ndim == 2:

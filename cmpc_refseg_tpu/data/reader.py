@@ -21,10 +21,19 @@ import numpy as np
 
 class PrefetchReader:
     """Generic sample reader: `load_fn(index) -> dict of np arrays`,
-    shuffled per epoch, prefetched by a daemon thread."""
+    shuffled per epoch, prefetched by daemon threads.
+
+    ``num_workers=1`` (default) preserves exact epoch ordering (the
+    reference's single prefetch thread, util/data_reader.py:8-27).  With
+    more workers, decode/resize parallelize across an index queue — needed
+    to keep a TPU fed (one thread decodes ~30 img/s; the chip runs ~60x
+    that per batch-of-8) — at the cost of within-epoch completion-order
+    nondeterminism (each epoch still covers every sample exactly once).
+    """
 
     def __init__(self, num_samples: int, load_fn: Callable[[int], dict],
-                 shuffle: bool = True, prefetch_num: int = 8, seed: int = 0):
+                 shuffle: bool = True, prefetch_num: int = 8, seed: int = 0,
+                 num_workers: int = 1):
         self.num_samples = num_samples
         self.load_fn = load_fn
         self.shuffle = shuffle
@@ -32,8 +41,34 @@ class PrefetchReader:
         self.n_epoch = 0
         self._rng = np.random.default_rng(seed)
         self._queue: "queue.Queue[dict]" = queue.Queue(maxsize=prefetch_num)
-        self._thread = threading.Thread(target=self._run, daemon=True)
-        self._thread.start()
+        if num_workers <= 1:
+            self._thread = threading.Thread(target=self._run, daemon=True)
+            self._thread.start()
+        else:
+            self._idx_queue: "queue.Queue[int]" = queue.Queue(
+                maxsize=max(prefetch_num, 2 * num_workers))
+            threading.Thread(target=self._feed_indices, daemon=True).start()
+            for _ in range(num_workers):
+                threading.Thread(target=self._worker, daemon=True).start()
+
+    def _feed_indices(self):
+        order = np.arange(self.num_samples)
+        pos = 0
+        while True:
+            if pos == 0 and self.shuffle:
+                order = self._rng.permutation(self.num_samples)
+            self._idx_queue.put(int(order[pos]), block=True)
+            pos = (pos + 1) % self.num_samples
+
+    def _worker(self):
+        while True:
+            idx = self._idx_queue.get(block=True)
+            try:
+                sample = self.load_fn(idx)
+            except BaseException as e:
+                self._queue.put(e, block=True)
+                return
+            self._queue.put(sample, block=True)
 
     def _run(self):
         order = np.arange(self.num_samples)
@@ -107,3 +142,84 @@ def batch_iterator(reader: PrefetchReader, batch_size: int,
                    keys: Optional[Sequence[str]] = None) -> Iterator[dict]:
     while True:
         yield reader.read_batch(batch_size, keys)
+
+
+class ProcessPrefetchReader:
+    """Multi-PROCESS sample loader: decode/resize are GIL-bound in Python
+    threads (measured: threads scale NEGATIVELY), so feeding a TPU chip at
+    hundreds of samples/s requires worker processes.
+
+    `dataset_factory` is a picklable zero-arg callable returning an object
+    with `load(i) -> dict` and `__len__`; each spawned worker constructs its
+    own instance (no live-object pickling, no inherited JAX/TPU state —
+    spawn, not fork).  Epoch order is produced in the parent; completion
+    order across workers is nondeterministic.
+    """
+
+    def __init__(self, dataset_factory, num_samples: int, shuffle=True,
+                 num_workers: int = 4, prefetch_num: int = 32, seed: int = 0):
+        import multiprocessing as mp
+        ctx = mp.get_context("spawn")
+        self.num_samples = num_samples
+        self.shuffle = shuffle
+        self.n_batch = 0
+        self.n_epoch = 0
+        self._rng = np.random.default_rng(seed)
+        self._out = ctx.Queue(maxsize=prefetch_num)
+        self._idx = ctx.Queue(maxsize=max(prefetch_num, 2 * num_workers))
+        self._procs = [
+            ctx.Process(target=_process_worker_main,
+                        args=(dataset_factory, self._idx, self._out),
+                        daemon=True)
+            for _ in range(num_workers)]
+        for p in self._procs:
+            p.start()
+        threading.Thread(target=self._feed, daemon=True).start()
+
+    def _feed(self):
+        order = np.arange(self.num_samples)
+        pos = 0
+        while True:
+            if pos == 0 and self.shuffle:
+                order = self._rng.permutation(self.num_samples)
+            self._idx.put(int(order[pos]), block=True)
+            pos = (pos + 1) % self.num_samples
+
+    def read(self) -> dict:
+        sample = self._out.get(block=True)
+        if isinstance(sample, str) and sample.startswith("__error__"):
+            raise RuntimeError(f"prefetch worker failed: {sample[9:]}")
+        self.n_batch = (self.n_batch + 1) % self.num_samples
+        self.n_epoch += (self.n_batch == 0)
+        return sample
+
+    def read_batch(self, batch_size: int,
+                   keys: Optional[Sequence[str]] = None) -> dict:
+        samples = [self.read() for _ in range(batch_size)]
+        keys = keys or samples[0].keys()
+        return {k: np.stack([np.asarray(s[k]) for s in samples], axis=0)
+                for k in keys}
+
+    def close(self):
+        for p in self._procs:
+            p.terminate()
+
+
+def _process_worker_main(dataset_factory, idx_q, out_q):
+    try:
+        import cv2
+        cv2.setNumThreads(1)   # one process = one core; avoid oversubscribe
+    except Exception:
+        pass
+    try:
+        ds = dataset_factory()
+    except BaseException as e:
+        out_q.put(f"__error__{e!r}")
+        return
+    while True:
+        i = idx_q.get(block=True)
+        try:
+            out_q.put(ds.load(i))
+        except BaseException as e:
+            out_q.put(f"__error__{e!r}")
+            return

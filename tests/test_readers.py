@@ -91,3 +91,45 @@ def test_prefetch_worker_error_propagates():
     r = PrefetchReader(3, bad_load, shuffle=False, prefetch_num=2)
     with pytest.raises(RuntimeError, match="prefetch worker failed"):
         r.read()
+
+
+def test_process_prefetch_reader(tmp_path):
+    """Spawn-based multiprocess loader delivers every sample per epoch and
+    propagates worker construction errors."""
+    from functools import partial
+
+    from cmpc_refseg_tpu.data.reader import ProcessPrefetchReader
+    from cmpc_refseg_tpu.data.refvos import RefVOSDataset
+    import json
+    from PIL import Image
+    from cmpc_refseg_tpu.data.refvos import OBJECT_COLOR
+
+    root = str(tmp_path)
+    os.makedirs(os.path.join(root, "J", "v"))
+    os.makedirs(os.path.join(root, "A", "v"))
+    rng = np.random.default_rng(0)
+    meta = []
+    for i in range(4):
+        Image.fromarray(rng.integers(0, 255, (24, 32, 3), dtype=np.uint8)
+                        ).save(os.path.join(root, "J", "v", f"f{i}.jpg"))
+        m = np.zeros((24, 32, 3), np.uint8)
+        m[6:18, 8:24] = OBJECT_COLOR["1"]
+        Image.fromarray(m).save(os.path.join(root, "A", "v", f"f{i}.png"))
+        meta.append([f"v/f{i}.jpg", f"v/f{i}.png", "a thing", "1"])
+    with open(os.path.join(root, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(root, "vocab.txt"), "w") as f:
+        f.write("\n".join(["<pad>", "<go>", "<eos>", "a", "thing", "<unk>"]))
+
+    factory = partial(RefVOSDataset, os.path.join(root, "J"),
+                      os.path.join(root, "A"),
+                      os.path.join(root, "meta.json"),
+                      os.path.join(root, "vocab.txt"), 6, 16, 16, None)
+    r = ProcessPrefetchReader(factory, 4, shuffle=False, num_workers=2,
+                              prefetch_num=8)
+    try:
+        batch = r.read_batch(4, keys=["im_batch", "mask_batch"])
+        assert batch["im_batch"].shape == (4, 16, 16, 3)
+        assert batch["mask_batch"].any()
+    finally:
+        r.close()
