@@ -185,7 +185,6 @@ def npz_eval_samples(data_folder, dataset, split, cfg):
 
 def run_test(args):
     import jax
-    from cmpc_refseg_tpu.models.model import init_model
     from cmpc_refseg_tpu.train.checkpoint import restore_checkpoint
     from cmpc_refseg_tpu.train.evaluator import evaluate, print_results
     from cmpc_refseg_tpu.train.trainer import create_train_state

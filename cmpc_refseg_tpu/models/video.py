@@ -21,8 +21,6 @@ it is trivially small).
 
 from __future__ import annotations
 
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
 

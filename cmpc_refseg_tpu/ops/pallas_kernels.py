@@ -7,12 +7,17 @@ for the per-head language product, then reduces over heads.  The fused
 kernel keeps each M-tile's head-partial in VMEM and never materializes the
 5C intermediate in HBM:
 
-    for h in heads:  acc += tanh(x @ W[:,h] + b[h]) * lang[h]
-    out = l2norm(tanh(acc))          (f32 accumulator, bf16 in/out)
+    part = x_tile @ W_wide                       (one [tm,Kp]x[Kp,H*Cp] dot)
+    acc  = sum_h tanh(part[:, h]) * lang[h]      (VPU, f32 accumulator)
+    out  = l2norm(tanh(acc))                     (bf16 in/out)
 
-Grid: (B, M_tiles, heads) with heads innermost; the f32 accumulator lives in
-a VMEM scratch that persists across the heads loop; the epilogue
-(tanh + l2-normalize over C) runs on the last head step.
+Wide-N grid over flat M tiles: W (all heads, lane-padded) has a constant
+index map so it stays VMEM-resident across the whole grid; only x/out
+stream.  Hard-won Mosaic facts baked in here: flat 2-D blocks (a leading
+unit block dim is ~2x slower), one-hot instead of dynamic sublane indexing,
+lane dims padded to 128 HOST-side (in-jit pads relayout ~2.4ms/call — see
+pad_mutan_params / models.model.prepare_params), tiles must not straddle
+batch rows (per-tile lang selection).
 
 A custom VJP recomputes the backward pass with plain XLA ops (the backward
 is matmul-dominated and XLA-fused; training throughput is secondary to the
@@ -27,7 +32,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 
 def _round_up(x: int, m: int) -> int:

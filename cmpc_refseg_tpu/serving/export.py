@@ -15,7 +15,6 @@ import os
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from cmpc_refseg_tpu.config import ModelConfig
 from cmpc_refseg_tpu.models.model import apply_model

@@ -44,7 +44,6 @@ def bn_name_for(conv_name: str) -> str:
 
 def convert_backbone(reader, get, params_bb):
     """Fill backbone params in place from a TF checkpoint reader."""
-    from cmpc_refseg_tpu.models.backbone import resnet_stages
     blocks = {"conv1": ["conv1"]}
     for name in params_bb:
         if name == "conv1":
