@@ -57,6 +57,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("-lastiter", dest="last_iter", type=int, default=0)
     p.add_argument("-pretrain", dest="pretrain", default=None,
                    help="checkpoint dir to warm-start from")
+    p.add_argument("-resume", dest="resume", action="store_true",
+                   help="auto-resume from the latest snapshot in -ckpt_dir "
+                        "(crash recovery; replaces the reference's manual "
+                        "-lastiter bookkeeping)")
     p.add_argument("-dtype", dest="compute_dtype", default=None,
                    help="float32|bfloat16 (default: bf16 on TPU)")
     p.add_argument("-mesh", dest="mesh_devices", type=int, default=0,
@@ -144,7 +148,19 @@ def run_train(args):
         sys.exit(f"batch size {cfg.batch_size} not divisible by {n_dev} devices")
 
     state = None
-    if args.pretrain:
+    start_iter = args.last_iter
+    if args.resume:
+        from cmpc_refseg_tpu.train.checkpoint import (latest_step,
+                                                      restore_checkpoint)
+        step = latest_step(args.ckpt_dir)
+        if step is not None:
+            state = create_train_state(jax.random.PRNGKey(0), cfg, glove)
+            state = restore_checkpoint(args.ckpt_dir, state)
+            start_iter = int(state.step)
+            print(f"resumed from {args.ckpt_dir} at step {start_iter}")
+        else:
+            print(f"[resume] no snapshot in {args.ckpt_dir}; fresh start")
+    elif args.pretrain:
         from cmpc_refseg_tpu.train.checkpoint import restore_checkpoint
         state = create_train_state(jax.random.PRNGKey(0), cfg, glove)
         state = restore_checkpoint(args.pretrain, state)
@@ -154,7 +170,7 @@ def run_train(args):
     train_loop(cfg, reader, max_iter=args.stop_iter, mesh=mesh, state=state,
                glove=glove, snapshot_every=args.snapshot,
                checkpoint_dir=args.ckpt_dir, logger=logger,
-               start_iter=args.last_iter)
+               start_iter=start_iter)
 
 
 def npz_eval_samples(data_folder, dataset, split, cfg):

@@ -104,3 +104,26 @@ def test_cli_video_train_then_eval(tmp_path, capsys):
            "-emb_dir", str(tmp_path)] + tiny)
     out = capsys.readouterr().out
     assert "mean_iou" in out and "prec@0.95" in out
+
+
+def test_cli_resume_continues_from_snapshot(fake_refvos, tmp_path, capsys):
+    """-resume restores the latest snapshot and continues at its step."""
+    from cmpc_refseg_tpu.cli import main
+    from cmpc_refseg_tpu.train.checkpoint import latest_step
+    ckpt_dir = os.path.join(str(tmp_path), "ckpt")
+    tiny = ["-H", "32", "-W", "32", "-T", "8", "-rnn_size", "16",
+            "-v_emb_dim", "16", "-mlp_dim", "12", "-glove_dim", "8",
+            "-res4_blocks", "2", "-vocab_size", "7"]
+    common = ["-m", "train", "-d", "refvos", "-t", "train", "-n",
+              "CMPC_model", "-im_dir", fake_refvos["im_dir"], "-mask_dir",
+              fake_refvos["mask_dir"], "-meta", fake_refvos["meta"],
+              "-vocab", fake_refvos["vocab"], "-emb_dir",
+              fake_refvos["root"], "-bs", "1", "-s", "2", "-ckpt_dir",
+              ckpt_dir, "-log_dir", os.path.join(str(tmp_path), "logs"),
+              "-mesh", "1", "-workers", "1"] + tiny
+    main(common + ["-st", "2"])
+    assert latest_step(ckpt_dir) == 2
+    main(common + ["-st", "4", "-resume"])
+    out = capsys.readouterr().out
+    assert "resumed from" in out and "at step 2" in out
+    assert latest_step(ckpt_dir) == 4
