@@ -28,9 +28,10 @@ def save_json(obj, fname):
 
 
 def read_anchors(anchor_path: str) -> np.ndarray:
-    """Anchor file: one 'w,h' pair per line (util/io.py:36-43); returns
-    [N, 2] float array."""
+    """Anchor file: space-separated 'w,h' pairs (reference util/io.py:36-43
+    reads ONE line, e.g. data/anchors.txt '4.38,4.50 28.66,17.64 ...');
+    newline-separated pairs are accepted too.  Returns [N, 2] float32."""
     with open(anchor_path) as f:
-        lines = [ln.strip() for ln in f if ln.strip()]
-    anchors = [[float(x) for x in ln.split(",")] for ln in lines]
+        tokens = f.read().replace("\n", " ").split()
+    anchors = [[float(x) for x in tok.split(",")] for tok in tokens if tok]
     return np.asarray(anchors, dtype=np.float32).reshape(-1, 2)
