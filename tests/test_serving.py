@@ -62,3 +62,58 @@ def test_savedmodel_signature(model, tmp_path, rng):
     mask = list(out.values())[0].numpy()
     want = np.asarray(make_predict_fn(cfg, params, state)(ims, words, sl))
     np.testing.assert_allclose(mask, want, rtol=1e-4, atol=1e-4)
+
+
+def test_http_server_predict_roundtrip(model, rng):
+    """Drive the stdlib inference server over a real socket."""
+    import base64
+    import io
+    import json
+    import threading
+    import urllib.request
+
+    from PIL import Image
+
+    from cmpc_refseg_tpu.serving.server import PredictService, serve
+
+    cfg, params, state = model
+    vocab = {"<pad>": 0, "<go>": 1, "<eos>": 2, "the": 3, "dog": 4,
+             "<unk>": 5}
+    svc = PredictService(cfg, params, state, vocab)
+    httpd = serve(svc, port=0)          # ephemeral port
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz") as r:
+            assert json.load(r)["status"] == "ok"
+
+        img = rng.integers(0, 255, (40, 56, 3), dtype=np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, format="PNG")
+        payload = json.dumps({
+            "image": base64.b64encode(buf.getvalue()).decode(),
+            "expression": "the dog",
+        }).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict", data=payload,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as r:
+            out = json.load(r)
+        mask = np.asarray(Image.open(io.BytesIO(
+            base64.b64decode(out["mask"]))))
+        assert mask.shape == (40, 56)   # native resolution
+        assert 0.0 <= out["prob_max"] <= 1.0
+
+        # probe: malformed body -> clean 400
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict", data=b"not json",
+            headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(bad)
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        httpd.shutdown()
