@@ -219,8 +219,24 @@ def run_test(args):
         merge_params(state.trainable, state.frozen), cfg))
     samples = npz_eval_samples(args.data_folder, args.dataset, args.split,
                                cfg)
+    visualize_fn = None
+    if args.visualize:
+        # reference visualize_seg (trainval_model.py:306-334): dump the
+        # native image, GT mask and predicted mask per sample
+        from PIL import Image
+        vis_dir = os.path.join(args.log_dir, "visualize")
+        os.makedirs(vis_dir, exist_ok=True)
+
+        def visualize_fn(n, sample, pred, sigm):
+            Image.fromarray(np.asarray(sample["im_native"], np.uint8)).save(
+                os.path.join(vis_dir, f"{n:05d}_im.png"))
+            Image.fromarray((np.asarray(sample["target_native"]) > 0
+                             ).astype(np.uint8) * 255).save(
+                os.path.join(vis_dir, f"{n:05d}_gt.png"))
+            Image.fromarray(pred.astype(np.uint8) * 255).save(
+                os.path.join(vis_dir, f"{n:05d}_pred.png"))
     results = evaluate(cfg, params, state.model_state, samples,
-                       use_crf=args.use_crf)
+                       use_crf=args.use_crf, visualize_fn=visualize_fn)
     print_results(results)
 
 

@@ -127,3 +127,26 @@ def test_cli_resume_continues_from_snapshot(fake_refvos, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "resumed from" in out and "at step 2" in out
     assert latest_step(ckpt_dir) == 4
+
+
+def test_cli_eval_visualize_flag(fake_refvos, tmp_path):
+    """-v dumps im/gt/pred PNGs per sample (reference visualize_seg)."""
+    from cmpc_refseg_tpu.cli import main
+    tiny = ["-H", "32", "-W", "32", "-T", "8", "-rnn_size", "16",
+            "-v_emb_dim", "16", "-mlp_dim", "12", "-glove_dim", "8",
+            "-res4_blocks", "2", "-vocab_size", "7"]
+    eval_dir = os.path.join(str(tmp_path), "unc", "val_batch")
+    os.makedirs(eval_dir)
+    rng = np.random.default_rng(1)
+    text = np.zeros((8,), np.int32)
+    text[:2] = [3, 4]
+    np.savez(os.path.join(eval_dir, "unc_val_0.npz"), text_batch=text,
+             im_batch=rng.integers(0, 255, (24, 40, 3), dtype=np.uint8),
+             mask_batch=(rng.random((24, 40)) > 0.5))
+    log_dir = os.path.join(str(tmp_path), "logs")
+    main(["-m", "test", "-d", "unc", "-t", "val", "-n", "CMPC_model",
+          "-f", str(tmp_path), "-ckpt_dir", os.path.join(str(tmp_path), "x"),
+          "-emb_dir", fake_refvos["root"], "-log_dir", log_dir, "-v"] + tiny)
+    vis = os.path.join(log_dir, "visualize")
+    assert sorted(os.listdir(vis)) == ["00000_gt.png", "00000_im.png",
+                                       "00000_pred.png"]
