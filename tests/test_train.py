@@ -197,3 +197,32 @@ class TestDataParallel:
         np.testing.assert_allclose(res["overall_iou"], ti / tu, rtol=1e-5)
         np.testing.assert_allclose(res["mean_iou"], tiou / n, rtol=1e-5)
         assert res["n"] == n
+
+
+class TestGradientCoverage:
+    def test_grads_reach_every_trainable_leaf(self, rng):
+        """One train-step gradient must be nonzero for (almost) every
+        trainable leaf — catches dead-parameter wiring bugs across the whole
+        head (parser, mutan, graph, exchange, ConvLSTM, scores, text)."""
+        cfg = get_config("CMPC_model", **TINY)
+        from cmpc_refseg_tpu.models.model import (apply_model, compute_loss,
+                                                  init_model)
+        params, mstate = init_model(jax.random.PRNGKey(0), cfg)
+        trainable, frozen = partition_params(params, cfg)
+        batch = make_batch(cfg, rng)
+
+        def loss_fn(tr):
+            p = merge_params(tr, frozen)
+            out, _ = apply_model(p, mstate, cfg, batch, train=True)
+            total, _ = compute_loss(out, batch["target"], cfg, p)
+            return total
+
+        grads = jax.grad(loss_fn)(trainable)
+        flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+        dead = [jax.tree_util.keystr(k) for k, g in flat
+                if float(jnp.max(jnp.abs(g))) == 0.0]
+        # the graph-conv LayerNorm betas can zero out via relu dead zones at
+        # tiny dims; anything else dead is a wiring bug
+        unexpected = [d for d in dead if "ln" not in d and "bias" not in d]
+        assert not unexpected, f"dead gradients: {unexpected}"
+        assert len(dead) < 0.1 * len(flat), (len(dead), len(flat))
