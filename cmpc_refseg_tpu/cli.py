@@ -61,6 +61,11 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="auto-resume from the latest snapshot in -ckpt_dir "
                         "(crash recovery; replaces the reference's manual "
                         "-lastiter bookkeeping)")
+    p.add_argument("-val_meta", dest="val_meta", default=None,
+                   help="val metadata json for periodic in-training "
+                        "validation (reference trainval_model_bert.py:107)")
+    p.add_argument("-val_every", dest="val_every", type=int, default=5000)
+    p.add_argument("-val_batches", dest="val_batches", type=int, default=32)
     p.add_argument("-dtype", dest="compute_dtype", default=None,
                    help="float32|bfloat16 (default: bf16 on TPU)")
     p.add_argument("-mesh", dest="mesh_devices", type=int, default=0,
@@ -166,11 +171,34 @@ def run_train(args):
         state = restore_checkpoint(args.pretrain, state)
         print(f"warm-started from {args.pretrain}")
 
+    val_fn = None
+    if args.val_meta and args.dataset == "refvos":
+        from cmpc_refseg_tpu.train.evaluator import evaluate_sharded
+        from cmpc_refseg_tpu.train.optimizer import merge_params
+        from cmpc_refseg_tpu.train.trainer import prepare_image_batch
+        val_reader = RefVOSReader(
+            im_dir=args.im_dir, mask_dir=args.mask_dir,
+            metadata_path=args.val_meta, vocab_path=args.vocab,
+            T=cfg.num_steps, input_h=cfg.H, input_w=cfg.W, shuffle=False)
+
+        def val_fn(st):
+            def batches():
+                for _ in range(args.val_batches):
+                    yield prepare_image_batch(
+                        val_reader.read_collated(cfg.batch_size), cfg)
+            params = merge_params(st.trainable, st.frozen)
+            res = evaluate_sharded(cfg, params, st.model_state, batches(),
+                                   mesh=mesh)
+            print(f"[val] overall IoU {res['overall_iou']:.4f} "
+                  f"mean IoU {res['mean_iou']:.4f} (n={res['n']})")
+            return res
+
     logger = MetricLogger(args.log_dir)
     train_loop(cfg, reader, max_iter=args.stop_iter, mesh=mesh, state=state,
                glove=glove, snapshot_every=args.snapshot,
                checkpoint_dir=args.ckpt_dir, logger=logger,
-               start_iter=start_iter)
+               start_iter=start_iter, val_fn=val_fn,
+               val_every=args.val_every if args.val_meta else 0)
 
 
 def npz_eval_samples(data_folder, dataset, split, cfg):

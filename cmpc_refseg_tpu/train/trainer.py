@@ -120,11 +120,16 @@ def train_loop(cfg: ModelConfig, reader, *, max_iter: int, mesh=None,
                state: Optional[TrainState] = None, glove=None,
                log_every: int = 100, snapshot_every: int = 0,
                checkpoint_dir: Optional[str] = None, logger=None,
-               start_iter: int = 0, seed: int = 0):
+               start_iter: int = 0, seed: int = 0,
+               val_fn: Optional[Callable] = None, val_every: int = 0):
     """End-to-end training (trainval_model.py train(), TPU-native).
 
     `reader` must provide read_collated(batch_size) -> dict of stacked
     arrays.  With a mesh, batch arrays are sharded over 'data'.
+
+    `val_fn(state) -> dict` runs every `val_every` iters and its metrics go
+    to the logger under 'val_*' (periodic in-training validation, the
+    reference BERT driver's loop at trainval_model_bert.py:107-122).
     """
     from cmpc_refseg_tpu.parallel.mesh import shard_batch
     from cmpc_refseg_tpu.utils.moving_average import MovingAverage
@@ -149,6 +154,11 @@ def train_loop(cfg: ModelConfig, reader, *, max_iter: int, mesh=None,
             metrics = {k: float(v) for k, v in metrics.items()}
             metrics["step_time_s"] = time_avg.get()
             logger.log(it, metrics)
+        if val_fn is not None and val_every and (it + 1) % val_every == 0:
+            val_metrics = val_fn(state)
+            if logger is not None:
+                logger.log(it + 1, {f"val_{k}": float(v)
+                                    for k, v in val_metrics.items()})
         if (checkpoint_dir and snapshot_every
                 and (it + 1) % snapshot_every == 0):
             from cmpc_refseg_tpu.train.checkpoint import save_checkpoint

@@ -150,3 +150,26 @@ def test_cli_eval_visualize_flag(fake_refvos, tmp_path):
     vis = os.path.join(log_dir, "visualize")
     assert sorted(os.listdir(vis)) == ["00000_gt.png", "00000_im.png",
                                        "00000_pred.png"]
+
+
+def test_cli_periodic_validation(fake_refvos, tmp_path, capsys):
+    """-val_meta triggers in-training validation every -val_every iters
+    (reference trainval_model_bert.py:107-122)."""
+    from cmpc_refseg_tpu.cli import main
+    tiny = ["-H", "32", "-W", "32", "-T", "8", "-rnn_size", "16",
+            "-v_emb_dim", "16", "-mlp_dim", "12", "-glove_dim", "8",
+            "-res4_blocks", "2", "-vocab_size", "7"]
+    main(["-m", "train", "-d", "refvos", "-t", "train", "-n", "CMPC_model",
+          "-im_dir", fake_refvos["im_dir"], "-mask_dir",
+          fake_refvos["mask_dir"], "-meta", fake_refvos["meta"],
+          "-vocab", fake_refvos["vocab"], "-emb_dir", fake_refvos["root"],
+          "-bs", "1", "-st", "2", "-s", "0", "-ckpt_dir",
+          os.path.join(str(tmp_path), "c"), "-log_dir",
+          os.path.join(str(tmp_path), "l"), "-mesh", "1", "-workers", "1",
+          "-val_meta", fake_refvos["meta"], "-val_every", "2",
+          "-val_batches", "2"] + tiny)
+    out = capsys.readouterr().out
+    assert "[val] overall IoU" in out
+    # val metrics logged to jsonl
+    lines = open(os.path.join(str(tmp_path), "l", "metrics.jsonl")).read()
+    assert "val_overall_iou" in lines
