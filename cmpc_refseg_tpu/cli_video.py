@@ -177,9 +177,11 @@ def main(argv=None):
     else:
         from cmpc_refseg_tpu.train.checkpoint import restore_checkpoint
         from cmpc_refseg_tpu.train.optimizer import merge_params
+        from cmpc_refseg_tpu.models.model import prepare_params
         state = create_video_train_state(0, cfg, glove)
         state = restore_checkpoint(args.ckpt_dir, state)
-        params = merge_params(state.trainable, state.frozen)
+        params = jax.device_put(prepare_params(
+            merge_params(state.trainable, state.frozen), cfg))
 
         def samples():
             for _ in range(reader.num_samples):
