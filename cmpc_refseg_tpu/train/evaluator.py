@@ -36,45 +36,68 @@ def make_eval_step(cfg: ModelConfig):
     return eval_step
 
 
+_BATCH_KEYS = ("im", "words", "seq_len", "valid_idx", "words_feat",
+               "sequence_mask")
+
+
 def evaluate(cfg: ModelConfig, params, model_state, sample_iter, *,
              use_crf: bool = False, max_samples: Optional[int] = None,
-             visualize_fn=None) -> dict:
+             visualize_fn=None, batch_size: int = 8) -> dict:
     """sample_iter yields dicts with model inputs (batched [1, ...]) plus
-    'orig_size' (h, w) and 'target_native' (native-resolution GT mask)."""
+    'orig_size' (h, w) and 'target_native' (native-resolution GT mask).
+
+    Device forwards run in fixed-size batches of `batch_size` (tail padded
+    with the last sample) — ONE compiled program, the chip stays fed — while
+    the protocol-parity native-resolution mapping and (I, U) accumulation
+    stay per-sample on the host (trainval_model.py:243-284)."""
     eval_step = make_eval_step(cfg)
     acc = SegEvalAccumulator()
     acc_crf = SegEvalAccumulator() if use_crf else None
+    n = 0
 
-    for n, sample in enumerate(sample_iter):
-        if max_samples is not None and n >= max_samples:
+    def flush(group):
+        nonlocal n
+        if not group:
+            return
+        pad = batch_size - len(group)
+        batch = {}
+        for k in _BATCH_KEYS:
+            if k in group[0]:
+                rows = [np.asarray(s[k]) for s in group]
+                rows += [rows[-1]] * pad
+                batch[k] = np.concatenate(rows, axis=0)
+        up_b, sigm_b = eval_step(params, model_state, batch)
+        up_b = np.asarray(up_b)
+        sigm_b = np.asarray(sigm_b)
+        for j, sample in enumerate(group):
+            up = up_b[j, :, :, 0]
+            sigm = sigm_b[j, :, :, 0]
+            oh, ow = sample["orig_size"]
+            target = np.asarray(sample["target_native"]) > 0
+            pred = resize_and_crop((up > SCORE_THRESHOLD).astype(np.float32),
+                                   oh, ow) > 0.5
+            acc.update(np.sum(np.logical_and(pred, target)),
+                       np.sum(np.logical_or(pred, target)))
+            if use_crf:
+                from cmpc_refseg_tpu.ops.densecrf import refine_mask
+                sigm_native = resize_and_crop(sigm, oh, ow)
+                crf_mask = refine_mask(np.asarray(sample["im_native"]),
+                                       sigm_native)
+                acc_crf.update(np.sum(np.logical_and(crf_mask, target)),
+                               np.sum(np.logical_or(crf_mask, target)))
+            if visualize_fn is not None:
+                visualize_fn(n, sample, pred, sigm)
+            n += 1
+
+    group = []
+    for sample in sample_iter:
+        if max_samples is not None and n + len(group) >= max_samples:
             break
-        batch = {k: v for k, v in sample.items()
-                 if k in ("im", "words", "seq_len", "valid_idx",
-                          "words_feat", "sequence_mask")}
-        up, sigm = eval_step(params, model_state, batch)
-        up = np.asarray(up)[0, :, :, 0]
-        sigm = np.asarray(sigm)[0, :, :, 0]
-
-        oh, ow = sample["orig_size"]
-        target = np.asarray(sample["target_native"]) > 0
-
-        pred = resize_and_crop((up > SCORE_THRESHOLD).astype(np.float32),
-                               oh, ow) > 0.5
-        i = np.sum(np.logical_and(pred, target))
-        u = np.sum(np.logical_or(pred, target))
-        acc.update(i, u)
-
-        if use_crf:
-            from cmpc_refseg_tpu.ops.densecrf import refine_mask
-            sigm_native = resize_and_crop(sigm, oh, ow)
-            im_native = np.asarray(sample["im_native"])
-            crf_mask = refine_mask(im_native, sigm_native)
-            i2 = np.sum(np.logical_and(crf_mask, target))
-            u2 = np.sum(np.logical_or(crf_mask, target))
-            acc_crf.update(i2, u2)
-
-        if visualize_fn is not None:
-            visualize_fn(n, sample, pred, sigm)
+        group.append(sample)
+        if len(group) == batch_size:
+            flush(group)
+            group = []
+    flush(group)
 
     results = {"no_crf": acc.result()}
     if use_crf:
