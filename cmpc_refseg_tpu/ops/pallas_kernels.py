@@ -242,14 +242,19 @@ def mutan_fused(x, w, b, lang, num_heads: int = 5):
 
 
 def _mutan_fwd(x, w, b, lang, num_heads):
-    return mutan_fused(x, w, b, lang, num_heads), (x, w, b, lang)
-
-
-def _mutan_bwd(num_heads, res, g):
-    x, w, b, lang = res
-    _, vjp = jax.vjp(
+    # Under differentiation (training) custom_vjp calls THIS instead of the
+    # primal: use the XLA reference forward and keep its vjp closure as the
+    # residual — autodiff then reuses the forward intermediates, which
+    # measures FASTER per train step than pallas-forward + full recompute
+    # (54.8 vs 56.4 ms at the reference geometry).  Inference (no grad)
+    # still runs the pallas primal.
+    out, vjp = jax.vjp(
         lambda x_, w_, b_, l_: _mutan_reference(x_, w_, b_, l_, num_heads),
         x, w, b, lang)
+    return out, vjp
+
+
+def _mutan_bwd(num_heads, vjp, g):
     return vjp(g)
 
 
