@@ -150,10 +150,17 @@ def train_loop(cfg: ModelConfig, reader, *, max_iter: int, mesh=None,
         now = time.time()
         time_avg.add(now - last)
         last = now
-        if logger is not None and (it % log_every == 0):
+        if it % log_every == 0:
             metrics = {k: float(v) for k, v in metrics.items()}
             metrics["step_time_s"] = time_avg.get()
-            logger.log(it, metrics)
+            # console progress like the reference's iter printout
+            # (trainval_model.py:108-120)
+            print(f"iter {it}: loss {metrics.get('loss_cls_all', 0):.2f} "
+                  f"mIoU {metrics.get('train_mIoU', 0):.3f} "
+                  f"lr {metrics.get('learning_rate', 0):.2e} "
+                  f"({time_avg.get():.3f}s/it)", flush=True)
+            if logger is not None:
+                logger.log(it, metrics)
         if val_fn is not None and val_every and (it + 1) % val_every == 0:
             val_metrics = val_fn(state)
             if logger is not None:

@@ -17,6 +17,20 @@ import jax.numpy as jnp  # noqa: E402
 
 
 class TestResizeParity:
+    def test_resize_bilinear_random_shapes(self, rng):
+        """20 random shape pairs — exhaustive parity of the grid mapping."""
+        from cmpc_refseg_tpu.ops.resize import resize_bilinear
+        import jax.numpy as jnp2
+        for _ in range(20):
+            ih, iw = int(rng.integers(2, 90)), int(rng.integers(2, 90))
+            oh, ow = int(rng.integers(2, 90)), int(rng.integers(2, 90))
+            x = rng.standard_normal((1, ih, iw, 2)).astype(np.float32)
+            want = tf.compat.v1.image.resize_bilinear(
+                tf.constant(x), (oh, ow), align_corners=False).numpy()
+            got = np.asarray(resize_bilinear(jnp2.asarray(x), oh, ow))
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=5e-5,
+                                       err_msg=f"{(ih,iw)}->{(oh,ow)}")
+
     @pytest.mark.parametrize("in_hw,out_hw", [
         ((40, 40), (320, 320)), ((13, 17), (64, 48)), ((64, 48), (13, 17)),
         ((8, 8), (8, 8)),
