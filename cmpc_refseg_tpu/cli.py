@@ -75,6 +75,8 @@ def build_argparser() -> argparse.ArgumentParser:
                         "(0 = min(8, cpu_count); 1 = single prefetch "
                         "thread, deterministic order)")
     # model-dimension overrides (ablations / debugging / CI smoke runs)
+    p.add_argument("-accum", dest="grad_accum", type=int, default=1,
+                   help="gradient accumulation micro-steps per update")
     p.add_argument("-rnn_size", type=int, default=None)
     p.add_argument("-v_emb_dim", type=int, default=None)
     p.add_argument("-mlp_dim", type=int, default=None)
@@ -108,7 +110,7 @@ def make_config(args):
         num_steps=args.num_steps, H=args.H, W=args.W,
         vocab_size=overrides.pop("vocab_size", vocab_size),
         start_lr=args.start_lr, conv5=args.conv5,
-        compute_dtype=dtype, **overrides)
+        compute_dtype=dtype, grad_accum=args.grad_accum, **overrides)
     return cfg, emb_name
 
 

@@ -86,6 +86,7 @@ class ModelConfig:
     lr_power: float = 0.9
     weight_decay: float = 5e-4
     optimizer: str = "adam"
+    grad_accum: int = 1           # micro-batches per Adam update
     conv5: bool = False           # also train res3/4/5 conv weights
     # loss weights: (main, c5, c4, c3) - (CMPC_model.py:444-445)
     loss_weights: Tuple[float, ...] = (0.7, 0.1, 0.1, 0.1)

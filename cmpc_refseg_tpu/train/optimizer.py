@@ -42,14 +42,19 @@ def _scale_bias_grads(mult: float = 2.0):
 
 
 def make_optimizer(cfg):
-    """optax chain reproducing reference train_op semantics."""
+    """optax chain reproducing reference train_op semantics.  With
+    cfg.grad_accum > 1, gradients average over that many micro-batches
+    before each Adam update (effective batch = batch_size * grad_accum)."""
     if cfg.optimizer != "adam":
         raise ValueError(f"Unknown optimizer type {cfg.optimizer!r}")
-    return optax.chain(
+    opt = optax.chain(
         _scale_bias_grads(2.0),
         optax.adam(learning_rate=polynomial_lr(cfg),
                    b1=0.9, b2=0.999, eps=1e-8),
     )
+    if getattr(cfg, "grad_accum", 1) > 1:
+        opt = optax.MultiSteps(opt, every_k_schedule=cfg.grad_accum)
+    return opt
 
 
 # ---------------------------------------------------------------------------

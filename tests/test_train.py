@@ -226,3 +226,32 @@ class TestGradientCoverage:
         unexpected = [d for d in dead if "ln" not in d and "bias" not in d]
         assert not unexpected, f"dead gradients: {unexpected}"
         assert len(dead) < 0.1 * len(flat), (len(dead), len(flat))
+
+
+class TestGradAccum:
+    def test_accumulated_update_matches_mean_gradient(self):
+        """grad_accum=K: K micro-grads produce ONE Adam update equal to the
+        update for their mean (optax.MultiSteps wiring; exact at the
+        gradient level — post-Adam parameter comparison is ill-conditioned
+        because Adam normalizes tiny gradient noise to full step size)."""
+        cfg_acc = get_config("CMPC_model", **TINY, grad_accum=2)
+        cfg_one = get_config("CMPC_model", **TINY)
+        params = {"a": {"DW": jnp.ones((3, 3)), "biases": jnp.zeros((3,))}}
+        g1 = jax.tree.map(lambda x: jnp.full_like(x, 0.5), params)
+        g2 = jax.tree.map(lambda x: jnp.full_like(x, 1.5), params)
+        gm = jax.tree.map(lambda a, b: (a + b) / 2, g1, g2)
+
+        opt_acc = make_optimizer(cfg_acc)
+        st = opt_acc.init(params)
+        up1, st = opt_acc.update(g1, st, params)
+        # first micro-step: no update emitted
+        assert all(float(jnp.abs(u).max()) == 0
+                   for u in jax.tree.leaves(up1))
+        up2, st = opt_acc.update(g2, st, params)
+
+        opt_one = make_optimizer(cfg_one)
+        st1 = opt_one.init(params)
+        want, _ = opt_one.update(gm, st1, params)
+        for a, b in zip(jax.tree.leaves(up2), jax.tree.leaves(want)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-9)
