@@ -173,3 +173,51 @@ def test_cli_periodic_validation(fake_refvos, tmp_path, capsys):
     # val metrics logged to jsonl
     lines = open(os.path.join(str(tmp_path), "l", "metrics.jsonl")).read()
     assert "val_overall_iou" in lines
+
+
+def test_ytvos_inference_writes_masks(tmp_path):
+    """infer_video.run_inference over a fake meta_expressions.json +
+    frames writes per-expression mask PNGs at half resolution
+    (reference test.py:237-334)."""
+    import json
+    from PIL import Image
+    from cmpc_refseg_tpu.config import get_config
+    from cmpc_refseg_tpu.infer_video import run_inference
+    from cmpc_refseg_tpu.models.model import init_model
+    import jax
+
+    root = str(tmp_path)
+    im_dir = os.path.join(root, "JPEGImages")
+    os.makedirs(os.path.join(im_dir, "video1"))
+    rng = np.random.default_rng(0)
+    frames = ["00000", "00005", "00010"]
+    for f in frames:
+        Image.fromarray(rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)
+                        ).save(os.path.join(im_dir, "video1", f"{f}.jpg"))
+    meta = {"videos": {"video1": {
+        "expressions": {"0": {"exp": "the red box"},
+                        "1": {"exp": "a blue dog"}},
+        "frames": frames}}}
+    meta_path = os.path.join(root, "meta_expressions.json")
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh)
+    vocab_path = os.path.join(root, "vocab.txt")
+    with open(vocab_path, "w") as fh:
+        fh.write("\n".join(["<pad>", "<go>", "<eos>", "the", "red", "box",
+                            "a", "blue", "dog", "<unk>"]))
+
+    cfg = get_config("CMPC_model", H=32, W=32, num_steps=8, vocab_size=10,
+                     glove_dim=8, rnn_size=16, v_emb_dim=16, mlp_dim=12,
+                     res4_blocks=2)
+    params, state = init_model(jax.random.PRNGKey(0), cfg)
+    out_dir = os.path.join(root, "results")
+    n = run_inference(cfg, params, state, meta_path=meta_path, im_dir=im_dir,
+                      out_dir=out_dir, vocab_path=vocab_path, frame_batch=2)
+    assert n == 2
+    for eid in ("0", "1"):
+        for f in frames:
+            p = os.path.join(out_dir, "video1", eid, f"{f}.png")
+            assert os.path.isfile(p), p
+            m = np.asarray(Image.open(p))
+            assert m.shape == (24, 32)        # half resolution
+            assert set(np.unique(m)) <= {0, 255}
