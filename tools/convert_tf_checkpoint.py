@@ -66,6 +66,28 @@ def convert_backbone(reader, get, params_bb):
     return params_bb
 
 
+def convert_backbone_from_kaffe_npy(npy_path: str, params_bb: dict,
+                                    params_head: dict | None = None):
+    """Ingest a kaffe-converted caffemodel .npy (the reference's
+    convert.py/npy2ckpt.py intermediate: {op_name: {param_name: array}},
+    conv kernels already HWIO, BN params named gamma/beta/moving_mean/
+    moving_variance — kaffe/transformers.py:270-289, network.py:54-69).
+    Fills the backbone (BN folded) and, if `params_head` is given, the VOC
+    head convs fc1_voc12_c0..c3 (weights/biases)."""
+    data = np.load(npy_path, allow_pickle=True).item()
+
+    def get(name):
+        op, param = name.rsplit("/", 1)
+        return np.asarray(data[op][param], np.float32)
+
+    convert_backbone(None, get, params_bb)
+    if params_head is not None:
+        for i in range(4):
+            params_head[f"c{i}"]["w"] = get(f"fc1_voc12_c{i}/weights")
+            params_head[f"c{i}"]["b"] = get(f"fc1_voc12_c{i}/biases")
+    return params_bb
+
+
 def convert_head(get, params, cfg, scope="text_objseg"):
     """Fill head params from reference variable names."""
     def conv(scope_name):
