@@ -119,6 +119,18 @@ def test_train_eval_infer_smoke(tmp_path):
     assert cv2.imread(out_png) is not None
 
 
+def test_train_msc_smoke(tmp_path):
+    """--train-msc: shared-weight towers at 3 scales, 4-term CE
+    (train_msc.py:145-216)."""
+    data_dir, data_list = _fake_voc(tmp_path)
+    loss = pb.main(["--mode", "train", "--data-dir", data_dir,
+                    "--data-list", data_list, "--num-classes", "4",
+                    "--res4-blocks", "2", "--crop-size", "64",
+                    "--batch-size", "1", "--num-steps", "2",
+                    "--print-every", "1", "--seed", "0", "--train-msc"])
+    assert np.isfinite(loss)
+
+
 def test_head_only_scope_and_adam():
     """--scope head trains only fc1_voc12 (fine_tune.py:142,169)."""
     import argparse

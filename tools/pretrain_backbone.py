@@ -121,12 +121,16 @@ def voc_ce_loss(logits: jnp.ndarray, labels: jnp.ndarray,
     return jnp.sum(ce) / jnp.maximum(jnp.sum(valid), 1)
 
 
-def downsample_labels(labels: np.ndarray, factor: int = 8) -> np.ndarray:
-    """Nearest-neighbor downsample to the feature grid, matching
-    tf.image.resize_nearest_neighbor on an exact-stride grid
-    (utils.py:55)."""
+def downsample_labels(labels: np.ndarray, factor: int = 8,
+                      out_size=None) -> np.ndarray:
+    """Nearest-neighbor downsample to the feature grid (or an explicit
+    (oh, ow)), matching tf.image.resize_nearest_neighbor's floor mapping
+    (utils.py:55). Works on numpy or jnp arrays (static shapes)."""
     h, w = labels.shape[-2:] if labels.ndim == 2 else labels.shape[1:3]
-    oh, ow = (h + factor - 1) // factor, (w + factor - 1) // factor
+    if out_size is None:
+        oh, ow = (h + factor - 1) // factor, (w + factor - 1) // factor
+    else:
+        oh, ow = out_size
     ridx = (np.arange(oh) * h / oh).astype(np.int64)
     cidx = (np.arange(ow) * w / ow).astype(np.int64)
     return labels[..., ridx[:, None], cidx[None, :]]
@@ -218,9 +222,33 @@ def make_train_step(cfg):
 
     def loss_fn(train_p, frozen_p, im, labels):
         params = merge_trees(train_p, frozen_p)
-        logits = voc_logits(params, im, compute_dtype=cfg["compute_dtype"],
-                            res4_blocks=cfg["res4_blocks"])
-        ce = voc_ce_loss(logits, labels, cfg["num_classes"])
+
+        def logits_at(x):
+            return voc_logits(params, x, compute_dtype=cfg["compute_dtype"],
+                              res4_blocks=cfg["res4_blocks"])
+
+        logits = logits_at(im)
+        if cfg["train_msc"]:
+            # train_msc.py:145-216 — shared-weight towers at scales
+            # {1, .75, .5}; loss = CE(max-fused) + per-scale CEs, each
+            # against labels downsampled to that tower's grid.
+            h, w = im.shape[1:3]
+            fh, fw = logits.shape[1:3]
+            per_scale = [logits]
+            fused = logits
+            for s in (0.75, 0.5):
+                ls = logits_at(resize_bilinear(im, int(h * s), int(w * s)))
+                per_scale.append(ls)
+                fused = jnp.maximum(fused, resize_bilinear(ls, fh, fw))
+            # `labels` arrive at full crop resolution in msc mode
+            ce = voc_ce_loss(fused,
+                             downsample_labels(labels, out_size=(fh, fw)),
+                             cfg["num_classes"])
+            for ls in per_scale:
+                lbl = downsample_labels(labels, out_size=ls.shape[1:3])
+                ce = ce + voc_ce_loss(ls, lbl, cfg["num_classes"])
+        else:
+            ce = voc_ce_loss(logits, labels, cfg["num_classes"])
         wd = sum(jnp.sum(jnp.square(l))
                  for p, l in jax.tree_util.tree_leaves_with_path(train_p)
                  if p[-1].key == "w")
@@ -283,6 +311,7 @@ def run_train(args):
                power=args.power, momentum=args.momentum,
                weight_decay=args.weight_decay, num_classes=args.num_classes,
                res4_blocks=args.res4_blocks, opt=args.opt,
+               train_msc=args.train_msc,
                compute_dtype=jnp.bfloat16 if args.bf16 else None)
     params = init_params(args)
     train_p, frozen_p = split_trainable(params, args.scope)
@@ -307,7 +336,10 @@ def run_train(args):
                                   scale=not args.no_scale,
                                   mirror=not args.no_mirror)
             ims.append(im)
-            lbs.append(downsample_labels(lb.astype(np.int32)))
+            lb = lb.astype(np.int32)
+            # msc loss downsamples per tower inside the jit; single-scale
+            # pre-downsamples to the stride-8 grid on the host
+            lbs.append(lb if args.train_msc else downsample_labels(lb))
         train_p, opt_state, loss, ce = step(
             train_p, frozen_p, opt_state,
             np.stack(ims), np.stack(lbs))
@@ -452,6 +484,8 @@ def build_argparser():
     ap.add_argument("--opt", choices=("sgd", "adam"), default="sgd")
     ap.add_argument("--msc", action="store_true",
                     help="multi-scale max-fused eval (evaluate_msc.py)")
+    ap.add_argument("--train-msc", action="store_true",
+                    help="multi-scale training loss (train_msc.py:145-216)")
     ap.add_argument("--no-scale", action="store_true")
     ap.add_argument("--no-mirror", action="store_true")
     ap.add_argument("--bf16", action="store_true")
