@@ -116,6 +116,42 @@ def prepare_image_batch(collated: dict, cfg: ModelConfig) -> dict:
     return out
 
 
+class PreemptionGuard:
+    """Graceful-preemption watcher for the train loop.
+
+    SIGTERM/SIGINT (what preemptible TPU VMs deliver on eviction) set a
+    flag; the loop saves a final checkpoint at the next step boundary and
+    returns cleanly instead of losing up to one snapshot interval (the
+    reference's failure mode — it has no failure handling at all, SURVEY
+    §5.3; resume is manual via -lastiter, trainval_model.py:342).
+
+    No-op when not on the main thread (signal handlers can only be
+    installed there — e.g. train loops driven from a test worker thread).
+    """
+
+    def __init__(self):
+        self.fired = False
+        self._prev = {}
+
+    def __enter__(self):
+        import signal
+        try:
+            for sig in (signal.SIGTERM, signal.SIGINT):
+                self._prev[sig] = signal.signal(sig, self._handle)
+        except ValueError:   # not the main thread
+            self._prev = {}
+        return self
+
+    def _handle(self, signum, frame):
+        self.fired = True
+
+    def __exit__(self, *exc):
+        import signal
+        for sig, h in self._prev.items():
+            signal.signal(sig, h)
+        return False
+
+
 def train_loop(cfg: ModelConfig, reader, *, max_iter: int, mesh=None,
                state: Optional[TrainState] = None, glove=None,
                log_every: int = 100, snapshot_every: int = 0,
@@ -140,7 +176,33 @@ def train_loop(cfg: ModelConfig, reader, *, max_iter: int, mesh=None,
     time_avg = MovingAverage(100)
     last = time.time()
 
+    guard = PreemptionGuard().__enter__()
+    try:
+        state = _train_iters(cfg, reader, state, step_fn, time_avg, last,
+                             guard, max_iter=max_iter, mesh=mesh,
+                             log_every=log_every,
+                             snapshot_every=snapshot_every,
+                             checkpoint_dir=checkpoint_dir, logger=logger,
+                             start_iter=start_iter, val_fn=val_fn,
+                             val_every=val_every)
+    finally:
+        guard.__exit__()
+    return state
+
+
+def _train_iters(cfg, reader, state, step_fn, time_avg, last, guard, *,
+                 max_iter, mesh, log_every, snapshot_every, checkpoint_dir,
+                 logger, start_iter, val_fn, val_every):
+    from cmpc_refseg_tpu.parallel.mesh import shard_batch
+
     for it in range(start_iter, max_iter):
+        if guard.fired:
+            if checkpoint_dir:
+                from cmpc_refseg_tpu.train.checkpoint import save_checkpoint
+                save_checkpoint(checkpoint_dir, state, it)
+            print(f"preempted at iter {it}: checkpoint saved, exiting "
+                  "cleanly", flush=True)
+            return state
         collated = reader.read_collated(cfg.batch_size)
         batch = prepare_image_batch(collated, cfg)
         if mesh is not None:

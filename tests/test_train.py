@@ -228,6 +228,46 @@ class TestGradientCoverage:
         assert len(dead) < 0.1 * len(flat), (len(dead), len(flat))
 
 
+class TestPreemption:
+    def test_sigterm_checkpoints_and_exits(self, tmp_path):
+        """SIGTERM mid-training (preemptible TPU-VM eviction) -> final
+        checkpoint at the next step boundary + clean return, resumable via
+        latest_step (the reference would lose up to a snapshot interval,
+        SURVEY section 5.3)."""
+        import os
+        import signal
+
+        from cmpc_refseg_tpu.train.checkpoint import latest_step
+        from cmpc_refseg_tpu.train.trainer import train_loop
+
+        cfg = get_config("CMPC_model", **TINY)
+        r = np.random.default_rng(0)
+        calls = {"n": 0}
+
+        class Reader:
+            def read_collated(self, bs):
+                calls["n"] += 1
+                if calls["n"] == 3:
+                    os.kill(os.getpid(), signal.SIGTERM)
+                return {
+                    "im_batch": r.integers(
+                        0, 255, (bs, cfg.H, cfg.W, 3)).astype(np.uint8),
+                    "mask_batch": r.random((bs, cfg.H, cfg.W)) > 0.7,
+                    "text_batch": np.tile(
+                        np.array([[3, 4, 0, 0, 0, 0]], np.int32), (bs, 1)),
+                    "seq_length": np.full((bs,), 2, np.int64),
+                }
+
+        prev_handler = signal.getsignal(signal.SIGTERM)
+        state = train_loop(cfg, Reader(), max_iter=50,
+                           checkpoint_dir=str(tmp_path), log_every=1000)
+        done = int(state.step)
+        assert 0 < done < 50           # stopped early, after >=1 step
+        assert latest_step(str(tmp_path)) == done
+        # the loop restored whatever handler was installed before it ran
+        assert signal.getsignal(signal.SIGTERM) == prev_handler
+
+
 class TestGradAccum:
     def test_accumulated_update_matches_mean_gradient(self):
         """grad_accum=K: K micro-grads produce ONE Adam update equal to the
