@@ -80,7 +80,52 @@ def init_backbone(key, res4_blocks: int = 23) -> dict:
     return params
 
 
+def quantize_backbone(params_bb: dict) -> dict:
+    """Symmetric per-output-channel int8 weight quantization for serving.
+
+    Returns a new backbone pytree whose conv units carry ``w_q`` (int8
+    HWIO kernel) and ``w_scale`` ([cout] dequant scale); ``_conv_bn``
+    auto-detects these and runs the int8 MXU path (2x the bf16 MACs/cycle
+    on v5e) with dynamic per-tensor activation quantization.  Opt-in,
+    inference-only — the reference has no quantization (its serving export
+    ships the f32 graph, export_model_serving.py:57-71); this is a
+    TPU-native extra, off by default and excluded from the official bench.
+    """
+    def q(unit):
+        w = np.asarray(unit["w"], np.float32)
+        amax = np.abs(w.reshape(-1, w.shape[-1])).max(axis=0)
+        w_scale = np.maximum(amax, 1e-12) / 127.0
+        w_q = np.clip(np.rint(w / w_scale), -127, 127).astype(np.int8)
+        return {**unit, "w_q": w_q, "w_scale": w_scale.astype(np.float32)}
+
+    def walk(node):
+        if isinstance(node, dict) and "w" in node:
+            return q(node)
+        if isinstance(node, dict):
+            return {k: walk(v) for k, v in node.items()}
+        return node
+
+    return walk(params_bb)
+
+
 def _conv_bn(unit, x, *, stride=1, dilation=1, relu=True, compute_dtype=None):
+    if "w_q" in unit:
+        # int8 path: dynamic symmetric per-tensor activation scale; the
+        # dequant (s_x * w_scale) folds into the BN affine epilogue.
+        x = x.astype(jnp.float32)
+        s_x = (jnp.max(jnp.abs(x)) + 1e-12) / 127.0
+        xq = jnp.clip(jnp.round(x / s_x), -127, 127).astype(jnp.int8)
+        y = jax.lax.conv_general_dilated(
+            xq, unit["w_q"], window_strides=(stride, stride), padding="SAME",
+            rhs_dilation=(dilation, dilation), dimension_numbers=DIMS,
+            preferred_element_type=jnp.int32)
+        y = (y.astype(jnp.float32) * (s_x * unit["w_scale"] * unit["scale"])
+             + unit["offset"])
+        if relu:
+            y = jnp.maximum(y, 0.0)
+        if compute_dtype is not None:
+            y = y.astype(compute_dtype)
+        return y
     w = unit["w"]
     if compute_dtype is not None:
         x = x.astype(compute_dtype)

@@ -102,13 +102,22 @@ def init_model(key, cfg: ModelConfig, glove=None):
     return params, state
 
 
-def prepare_params(params, cfg: ModelConfig):
+def prepare_params(params, cfg: ModelConfig, *, quantize_backbone=False):
     """Augment params with precomputed inference-only views: lane-aligned
     padded mutan weights for the Pallas fast path (ops/pallas_kernels.py
     pad_mutan_params).  Call once after init/restore for eval, serving and
     benchmarking flows; training keeps raw params (gradients must flow into
-    the canonical weights)."""
+    the canonical weights).
+
+    quantize_backbone=True additionally rewrites backbone conv units with
+    int8 weights for the quantized serving path
+    (models/backbone.py::quantize_backbone) — opt-in, any platform."""
     import jax as _jax
+    if quantize_backbone:
+        from cmpc_refseg_tpu.models.backbone import (
+            quantize_backbone as _qbb)
+        params = dict(params)
+        params["backbone"] = _qbb(params["backbone"])
     if _jax.devices()[0].platform != "tpu":
         return params
     from cmpc_refseg_tpu.ops.pallas_kernels import pad_mutan_params

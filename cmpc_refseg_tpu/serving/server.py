@@ -29,14 +29,15 @@ import numpy as np
 class PredictService:
     """Holds the compiled forward + preprocessing state."""
 
-    def __init__(self, cfg, params, model_state, vocab_dict):
+    def __init__(self, cfg, params, model_state, vocab_dict,
+                 quantize: bool = False):
         import jax
 
         from cmpc_refseg_tpu.models.model import apply_model, prepare_params
 
         self.cfg = cfg
         self.vocab = vocab_dict
-        params = prepare_params(params, cfg)
+        params = prepare_params(params, cfg, quantize_backbone=quantize)
         self.params, self.state = jax.device_put((params, model_state))
 
         def fwd(p, s, batch):
@@ -139,6 +140,9 @@ def main(argv=None):
     ap.add_argument("-port", type=int, default=8500)
     ap.add_argument("-emb", dest="emb_name", default="refvos")
     ap.add_argument("-emb_dir", dest="emb_dir", default="data")
+    ap.add_argument("-quantize", action="store_true",
+                    help="int8 backbone serving path "
+                         "(models/backbone.py::quantize_backbone)")
     args = ap.parse_args(argv)
 
     import jax
@@ -160,7 +164,8 @@ def main(argv=None):
     state = restore_checkpoint(args.ckpt_dir, state)
     params = merge_params(state.trainable, state.frozen)
     service = PredictService(cfg, params, state.model_state,
-                             load_vocab_dict_from_file(args.vocab))
+                             load_vocab_dict_from_file(args.vocab),
+                             quantize=args.quantize)
     httpd = serve(service, port=args.port)
     print(f"serving on :{args.port} (POST /predict, GET /healthz)")
     httpd.serve_forever()

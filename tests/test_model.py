@@ -143,3 +143,57 @@ def test_batch_independence(rng):
     out2, _ = apply_model(params, state, cfg, b2)
     np.testing.assert_allclose(np.asarray(out1.up[0]), np.asarray(out2.up[0]),
                                rtol=1e-5, atol=1e-6)
+
+
+class TestQuantizedBackbone:
+    """Opt-in int8 serving path (models/backbone.py::quantize_backbone):
+    per-channel int8 weights + dynamic per-tensor activation quant, detected
+    by _conv_bn via the 'w_q' key. The reference ships only an f32 serving
+    graph (export_model_serving.py:57-71); this is a TPU-native extra."""
+
+    def test_quantized_close_to_f32(self, rng):
+        from cmpc_refseg_tpu.models.backbone import (apply_backbone,
+                                                     init_backbone,
+                                                     quantize_backbone)
+        p = init_backbone(jax.random.PRNGKey(0), 2)
+        pq = quantize_backbone(p)
+        x = jnp.asarray(rng.standard_normal((1, 64, 64, 3)),
+                        jnp.float32) * 50.0
+        ref = apply_backbone(p, x, taps=("c5",), res4_blocks=2)["c5"]
+        qut = apply_backbone(pq, x, taps=("c5",), res4_blocks=2)["c5"]
+        rel = float(jnp.linalg.norm(ref - qut) / jnp.linalg.norm(ref))
+        cos = float(jnp.sum(ref * qut)
+                    / (jnp.linalg.norm(ref) * jnp.linalg.norm(qut)))
+        assert rel < 0.08, rel
+        assert cos > 0.995, cos
+
+    def test_quantize_layout_and_original_kept(self):
+        from cmpc_refseg_tpu.models.backbone import (init_backbone,
+                                                     quantize_backbone)
+        p = init_backbone(jax.random.PRNGKey(0), 2)
+        pq = quantize_backbone(p)
+        u = pq["res2a"]["branch2b"]
+        assert u["w_q"].dtype == np.int8
+        assert u["w_q"].shape == u["w"].shape
+        assert u["w_scale"].shape == (u["w"].shape[-1],)
+        # int8 range actually used, and dequant reconstructs the kernel
+        assert np.abs(u["w_q"]).max() == 127
+        np.testing.assert_allclose(u["w_q"] * u["w_scale"], u["w"],
+                                   atol=float(u["w_scale"].max()))
+        # original params untouched (quantize returns a new tree)
+        assert "w_q" not in p["res2a"]["branch2b"]
+
+    def test_full_model_forward_with_quantized_backbone(self, rng):
+        from cmpc_refseg_tpu.models.model import prepare_params
+        cfg = get_config("CMPC_model", **TINY)
+        params, state = init_model(jax.random.PRNGKey(0), cfg)
+        qparams = prepare_params(params, cfg, quantize_backbone=True)
+        batch = make_batch(cfg, rng)
+        ref, _ = apply_model(params, state, cfg, batch, train=False)
+        out, _ = apply_model(qparams, state, cfg, batch, train=False)
+        assert out.sigm.shape == ref.sigm.shape
+        assert np.all(np.isfinite(np.asarray(out.sigm)))
+        # quantization error must not flip most pixels at threshold 0.5
+        agree = np.mean((np.asarray(out.sigm) > 0.5)
+                        == (np.asarray(ref.sigm) > 0.5))
+        assert agree > 0.95, agree
