@@ -161,19 +161,26 @@ def main(argv=None):
     if args.mode == "train":
         from cmpc_refseg_tpu.utils.logging import MetricLogger
         from cmpc_refseg_tpu.train.checkpoint import save_checkpoint
+        from cmpc_refseg_tpu.train.trainer import PreemptionGuard
         state = create_video_train_state(0, cfg, glove)
         step_fn = make_video_train_step(cfg)
         logger = MetricLogger(args.log_dir)
-        for it in range(args.max_iter):
-            collated = reader.read_batch(
-                cfg.batch_size,
-                keys=["text_batch", "seq_length", "mask_batch", "frames"])
-            batch = prepare_video_batch(collated, cfg)
-            state, metrics = step_fn(state, batch)
-            if it % 100 == 0:
-                logger.log(it, {k: float(v) for k, v in metrics.items()})
-            if (it + 1) % args.snapshot == 0:
-                save_checkpoint(args.ckpt_dir, state, it + 1)
+        with PreemptionGuard() as guard:
+            for it in range(args.max_iter):
+                if guard.fired:
+                    save_checkpoint(args.ckpt_dir, state, it)
+                    print(f"preempted at iter {it}: checkpoint saved, "
+                          "exiting cleanly", flush=True)
+                    break
+                collated = reader.read_batch(
+                    cfg.batch_size,
+                    keys=["text_batch", "seq_length", "mask_batch", "frames"])
+                batch = prepare_video_batch(collated, cfg)
+                state, metrics = step_fn(state, batch)
+                if it % 100 == 0:
+                    logger.log(it, {k: float(v) for k, v in metrics.items()})
+                if (it + 1) % args.snapshot == 0:
+                    save_checkpoint(args.ckpt_dir, state, it + 1)
     else:
         from cmpc_refseg_tpu.train.checkpoint import restore_checkpoint
         from cmpc_refseg_tpu.train.optimizer import merge_params

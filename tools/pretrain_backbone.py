@@ -322,9 +322,19 @@ def run_train(args):
     images, masks = read_data_list(args.data_dir, args.data_list)
     rng = np.random.default_rng(args.seed)
     ch, cw = args.crop_size, args.crop_size
+    from cmpc_refseg_tpu.train.trainer import PreemptionGuard
     order = rng.permutation(len(images))
     pos = 0
+    guard = PreemptionGuard().__enter__()
     for it in range(args.num_steps):
+        if guard.fired:
+            if args.snapshot_dir:
+                save_params(args.snapshot_dir, it,
+                            merge_trees(train_p, frozen_p))
+            print(f"preempted at iter {it}: snapshot saved, exiting cleanly",
+                  flush=True)
+            guard.__exit__()
+            return float(loss) if it else float("nan")
         ims, lbs = [], []
         for _ in range(args.batch_size):
             if pos >= len(order):
@@ -349,6 +359,7 @@ def run_train(args):
         if args.snapshot_dir and (it + 1) % args.save_every == 0:
             save_params(args.snapshot_dir, it + 1,
                         merge_trees(train_p, frozen_p))
+    guard.__exit__()
     if args.snapshot_dir:
         save_params(args.snapshot_dir, args.num_steps,
                     merge_trees(train_p, frozen_p))
