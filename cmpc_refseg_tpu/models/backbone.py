@@ -108,12 +108,20 @@ def quantize_backbone(params_bb: dict) -> dict:
     return walk(params_bb)
 
 
-def _conv_bn(unit, x, *, stride=1, dilation=1, relu=True, compute_dtype=None):
+def _conv_bn(unit, x, *, stride=1, dilation=1, relu=True, compute_dtype=None,
+             record=None, name=None):
+    if record is not None and name is not None:
+        record[name] = jnp.max(jnp.abs(x).astype(jnp.float32))
     if "w_q" in unit:
-        # int8 path: dynamic symmetric per-tensor activation scale; the
-        # dequant (s_x * w_scale) folds into the BN affine epilogue.
+        # int8 path: symmetric per-tensor activation scale — static
+        # ("x_scale", from calibrate_backbone) or dynamic (abs-max each
+        # call); the dequant (s_x * w_scale) folds into the BN affine
+        # epilogue.
         x = x.astype(jnp.float32)
-        s_x = (jnp.max(jnp.abs(x)) + 1e-12) / 127.0
+        if "x_scale" in unit:
+            s_x = unit["x_scale"]
+        else:
+            s_x = (jnp.max(jnp.abs(x)) + 1e-12) / 127.0
         xq = jnp.clip(jnp.round(x / s_x), -127, 127).astype(jnp.int8)
         y = jax.lax.conv_general_dilated(
             xq, unit["w_q"], window_strides=(stride, stride), padding="SAME",
@@ -148,13 +156,17 @@ def _conv_bn(unit, x, *, stride=1, dilation=1, relu=True, compute_dtype=None):
 
 def apply_backbone(params: dict, im: jnp.ndarray, *, compute_dtype=None,
                    taps=("c2", "c3", "c4", "c5"),
-                   res4_blocks: int = 23) -> dict:
+                   res4_blocks: int = 23, record=None) -> dict:
     """Forward the backbone on mean-subtracted BGR images [B,H,W,3].
 
     Returns the requested taps as {'c2': [B,H/4,W/4,256], 'c3': [B,H/8,.,512],
     'c4': [B,H/8,.,1024], 'c5': [B,H/8,.,2048]} (fp32).
+
+    `record` (dict) collects per-unit input abs-max (traced scalars, works
+    under jit) for int8 calibration — see ``calibrate_backbone``.
     """
-    x = _conv_bn(params["conv1"], im, stride=2, compute_dtype=compute_dtype)
+    x = _conv_bn(params["conv1"], im, stride=2, compute_dtype=compute_dtype,
+                 record=record, name="conv1")
     x = max_pool(x, 3, 2)
 
     outputs = {}
@@ -162,24 +174,71 @@ def apply_backbone(params: dict, im: jnp.ndarray, *, compute_dtype=None,
     want = {taps_for(stages)[t]: t for t in taps}
     for stage, blocks, _, _, stride, dilation in stages:
         for bi, b in enumerate(blocks):
-            bp = params[f"{stage}{b}"]
+            bname = f"{stage}{b}"
+            bp = params[bname]
             block_stride = stride if bi == 0 else 1
             if bi == 0:
                 shortcut = _conv_bn(bp["branch1"], x, stride=block_stride,
-                                    relu=False, compute_dtype=compute_dtype)
+                                    relu=False, compute_dtype=compute_dtype,
+                                    record=record, name=f"{bname}/branch1")
             else:
                 shortcut = x
             y = _conv_bn(bp["branch2a"], x, stride=block_stride,
-                         compute_dtype=compute_dtype)
+                         compute_dtype=compute_dtype,
+                         record=record, name=f"{bname}/branch2a")
             y = _conv_bn(bp["branch2b"], y, dilation=dilation,
-                         compute_dtype=compute_dtype)
+                         compute_dtype=compute_dtype,
+                         record=record, name=f"{bname}/branch2b")
             y = _conv_bn(bp["branch2c"], y, relu=False,
-                         compute_dtype=compute_dtype)
+                         compute_dtype=compute_dtype,
+                         record=record, name=f"{bname}/branch2c")
             x = jnp.maximum(shortcut + y, 0.0)
-            name = f"{stage}{b}_relu"
+            name = f"{bname}_relu"
             if name in want:
                 outputs[want[name]] = x.astype(jnp.float32)
     return outputs
+
+
+def calibrate_backbone(params_q: dict, images, *, res4_blocks: int = 23,
+                       margin: float = 1.0) -> dict:
+    """Bake static int8 activation scales from calibration data.
+
+    Runs the (quantized) backbone eagerly over `images` (a list of
+    [B,H,W,3] mean-subtracted BGR arrays), records each conv unit's input
+    abs-max, and returns a new pytree whose units carry
+    ``x_scale = margin * amax / 127`` — the int8 path then skips the
+    per-call dynamic abs-max/round reduction passes (HBM-bound, the main
+    overhead of dynamic quantization). Serving-only, like
+    ``quantize_backbone``.
+
+    The whole sweep is ONE jitted forward per image (params passed as an
+    argument — on tunneled platforms closing over them ships the weights
+    inside the HLO)."""
+    @jax.jit
+    def _amaxes(q, im):
+        rec: dict = {}
+        apply_backbone(q, im, taps=("c5",), res4_blocks=res4_blocks,
+                       record=rec)
+        return rec
+
+    agg: dict = {}
+    for im in images:
+        rec = _amaxes(params_q, jnp.asarray(im, jnp.float32))
+        for k, v in rec.items():
+            agg[k] = max(agg.get(k, 0.0), float(v))
+
+    def walk(node, prefix):
+        if isinstance(node, dict) and "w" in node:
+            key = prefix.rstrip("/")
+            if "w_q" in node and key in agg:
+                s = np.float32(margin * (agg[key] + 1e-12) / 127.0)
+                return {**node, "x_scale": s}
+            return node
+        if isinstance(node, dict):
+            return {k: walk(v, prefix + k + "/") for k, v in node.items()}
+        return node
+
+    return walk(params_q, "")
 
 
 def backbone_trainable_filter(path: tuple) -> bool:

@@ -30,7 +30,7 @@ class PredictService:
     """Holds the compiled forward + preprocessing state."""
 
     def __init__(self, cfg, params, model_state, vocab_dict,
-                 quantize: bool = False):
+                 quantize: bool = False, calibration_images=None):
         import jax
 
         from cmpc_refseg_tpu.models.model import apply_model, prepare_params
@@ -38,6 +38,14 @@ class PredictService:
         self.cfg = cfg
         self.vocab = vocab_dict
         params = prepare_params(params, cfg, quantize_backbone=quantize)
+        if quantize and calibration_images is not None:
+            # bake static activation scales (skips the dynamic abs-max
+            # pass per conv); images are mean-subtracted BGR [B,H,W,3]
+            from cmpc_refseg_tpu.models.backbone import calibrate_backbone
+            params = dict(params)
+            params["backbone"] = calibrate_backbone(
+                params["backbone"], calibration_images,
+                res4_blocks=cfg.res4_blocks)
         self.params, self.state = jax.device_put((params, model_state))
 
         def fwd(p, s, batch):

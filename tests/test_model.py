@@ -197,3 +197,26 @@ class TestQuantizedBackbone:
         agree = np.mean((np.asarray(out.sigm) > 0.5)
                         == (np.asarray(ref.sigm) > 0.5))
         assert agree > 0.95, agree
+
+    def test_calibrated_static_scales(self, rng):
+        """calibrate_backbone bakes per-unit activation scales; the static
+        path matches f32 as well as dynamic quant does, incl. on inputs
+        outside the calibration set."""
+        from cmpc_refseg_tpu.models.backbone import (apply_backbone,
+                                                     calibrate_backbone,
+                                                     init_backbone,
+                                                     quantize_backbone)
+        p = init_backbone(jax.random.PRNGKey(0), 2)
+        pq = quantize_backbone(p)
+        cal = [rng.standard_normal((1, 64, 64, 3)).astype(np.float32) * 50
+               for _ in range(2)]
+        pqs = calibrate_backbone(pq, cal, res4_blocks=2)
+        assert "x_scale" in pqs["res2a"]["branch2b"]
+        assert "x_scale" not in pq["res2a"]["branch2b"]   # input untouched
+        x = jnp.asarray(rng.standard_normal((1, 64, 64, 3)),
+                        jnp.float32) * 50.0
+        ref = apply_backbone(p, x, taps=("c5",), res4_blocks=2)["c5"]
+        sta = jax.jit(lambda q: apply_backbone(
+            q, x, taps=("c5",), res4_blocks=2)["c5"])(pqs)
+        rel = float(jnp.linalg.norm(ref - sta) / jnp.linalg.norm(ref))
+        assert rel < 0.08, rel

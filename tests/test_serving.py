@@ -117,3 +117,27 @@ def test_http_server_predict_roundtrip(model, rng):
             assert e.code == 400
     finally:
         httpd.shutdown()
+
+
+def test_quantized_calibrated_service(model, rng):
+    """-quantize path with calibration images: backbone units get int8
+    weights + static activation scales; predictions agree with the f32
+    service on most pixels."""
+    from cmpc_refseg_tpu.serving.server import PredictService
+
+    cfg, params, state = model
+    vocab = {"<pad>": 0, "<go>": 1, "<eos>": 2, "the": 3, "dog": 4,
+             "<unk>": 5}
+    cal = [rng.standard_normal((1, cfg.H, cfg.W, 3)).astype(np.float32) * 40]
+    svc_f32 = PredictService(cfg, params, state, vocab)
+    svc_q = PredictService(cfg, params, state, vocab, quantize=True,
+                           calibration_images=cal)
+    bb = svc_q.params["backbone"]["res2a"]["branch2b"]
+    assert bb["w_q"].dtype.name == "int8"
+    assert "x_scale" in bb
+
+    img = rng.integers(0, 255, (40, 56, 3), dtype=np.uint8)
+    prob_f, mask_f = svc_f32.predict(img, "the dog")
+    prob_q, mask_q = svc_q.predict(img, "the dog")
+    assert mask_q.shape == mask_f.shape
+    assert np.mean(mask_q == mask_f) > 0.9
