@@ -48,6 +48,18 @@ def find_pivot_frames(frames_feature, num_propagate: int = 2):
     return selected
 
 
+def video_output_mask(pred_raw, oh: int, ow: int) -> np.ndarray:
+    """Output-resolution uint8 mask with exact reference semantics
+    (test.py:307-308, 322-323): the model-resolution FLOAT 0/1 mask
+    (sigmoid already thresholded, or CRF argmax) is bilinearly resized to
+    (oh, ow) and then uint8-TRUNCATED and scaled x255 — fractional boundary
+    pixels from the interpolation fall to 0 (the mask erodes), unlike
+    thresholding after the resize."""
+    from cmpc_refseg_tpu.data.image import resize_and_crop
+    return resize_and_crop(np.asarray(pred_raw, np.float32),
+                           oh, ow).astype(np.uint8) * 255
+
+
 def iter_video_expressions(meta_path: str):
     with open(meta_path) as f:
         meta = json.load(f)["videos"]
@@ -62,8 +74,7 @@ def run_inference(cfg, params, model_state, *, meta_path: str, im_dir: str,
                   use_crf: bool = False, frame_batch: int = 8,
                   half_resolution: bool = True, max_expressions=None):
     import jax
-    from cmpc_refseg_tpu.data.image import (IMAGE_MEAN_BGR, resize_and_crop,
-                                            resize_and_pad)
+    from cmpc_refseg_tpu.data.image import IMAGE_MEAN_BGR, resize_and_pad
     from cmpc_refseg_tpu.data.text import (load_vocab_dict_from_file,
                                            preprocess_sentence_lstm)
     from cmpc_refseg_tpu.models.model import apply_model
@@ -89,13 +100,16 @@ def run_inference(cfg, params, model_state, *, meta_path: str, im_dir: str,
 
         for start in range(0, len(frames), frame_batch):
             chunk = frames[start:start + frame_batch]
-            ims, natives = [], []
+            ims, natives, proc_ims = [], [], []
             for frame in chunk:
                 with Image.open(os.path.join(im_dir, vid,
                                              f"{frame}.jpg")) as img:
                     native = np.asarray(img.convert("RGB"))
                 natives.append(native)
                 im = resize_and_pad(native.astype(np.float32), cfg.H, cfg.W)
+                # model-resolution RGB (uint8) — the CRF pairwise image
+                # (test.py:282,318: rgbim=proc_im)
+                proc_ims.append(np.clip(im, 0, 255).astype(np.uint8))
                 ims.append(im[..., ::-1] - IMAGE_MEAN_BGR)
             pad = frame_batch - len(chunk)
             ims += [np.zeros_like(ims[0])] * pad
@@ -110,17 +124,19 @@ def run_inference(cfg, params, model_state, *, meta_path: str, im_dir: str,
                 oh, ow = native.shape[:2]
                 if half_resolution:
                     oh, ow = oh // 2, ow // 2
-                prob = resize_and_crop(sigm[k], oh, ow)
+                # Reference semantics (test.py:307-323): threshold (or CRF)
+                # at MODEL resolution first, bilinear-resize the float 0/1
+                # mask to output resolution, then uint8-truncate (*255) —
+                # fractional boundary pixels fall to 0.
                 if use_crf:
                     from cmpc_refseg_tpu.ops.densecrf import refine_mask
-                    native_res = native if not half_resolution else np.asarray(
-                        Image.fromarray(native).resize((ow, oh)))
-                    mask = refine_mask(native_res, prob, threshold)
+                    pred_raw = refine_mask(proc_ims[k], sigm[k],
+                                           0.5).astype(np.float32)
                 else:
-                    mask = prob > threshold
+                    pred_raw = (sigm[k] >= threshold).astype(np.float32)
+                mask = video_output_mask(pred_raw, oh, ow)
                 saver.save_image(
-                    os.path.join(out_dir, vid, eid, f"{frame}.png"),
-                    mask.astype(np.uint8) * 255)
+                    os.path.join(out_dir, vid, eid, f"{frame}.png"), mask)
     saver.flush()
     return n_expr
 

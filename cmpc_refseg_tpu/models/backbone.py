@@ -96,7 +96,10 @@ def quantize_backbone(params_bb: dict) -> dict:
         amax = np.abs(w.reshape(-1, w.shape[-1])).max(axis=0)
         w_scale = np.maximum(amax, 1e-12) / 127.0
         w_q = np.clip(np.rint(w / w_scale), -127, 127).astype(np.int8)
-        return {**unit, "w_q": w_q, "w_scale": w_scale.astype(np.float32)}
+        # drop the f32 kernel: the int8 path never reads it, and keeping it
+        # would grow serving HBM ~25% instead of shrinking it 4x
+        rest = {k: v for k, v in unit.items() if k != "w"}
+        return {**rest, "w_q": w_q, "w_scale": w_scale.astype(np.float32)}
 
     def walk(node):
         if isinstance(node, dict) and "w" in node:
@@ -228,7 +231,7 @@ def calibrate_backbone(params_q: dict, images, *, res4_blocks: int = 23,
             agg[k] = max(agg.get(k, 0.0), float(v))
 
     def walk(node, prefix):
-        if isinstance(node, dict) and "w" in node:
+        if isinstance(node, dict) and ("w" in node or "w_q" in node):
             key = prefix.rstrip("/")
             if "w_q" in node and key in agg:
                 s = np.float32(margin * (agg[key] + 1e-12) / 127.0)

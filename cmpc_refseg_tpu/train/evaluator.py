@@ -28,6 +28,17 @@ from cmpc_refseg_tpu.ops.metrics import SegEvalAccumulator
 SCORE_THRESHOLD = 1e-9   # trainval_model.py:160,244
 
 
+def native_prediction(up: np.ndarray, oh: int, ow: int) -> np.ndarray:
+    """Native-resolution boolean prediction with exact reference semantics
+    (trainval_model.py:244-245 + util/eval_tools.py:31-35): threshold the
+    upsampled logits at `up >= 1e-9`, bilinearly resize the resulting FLOAT
+    0/1 mask to (oh, ow), then count ANY nonzero pixel as foreground —
+    np.logical_and on floats treats every nonzero value as True, so the
+    boundary dilates (NOT a >0.5 re-threshold, which would erode it)."""
+    return resize_and_crop((up >= SCORE_THRESHOLD).astype(np.float32),
+                           oh, ow) != 0
+
+
 def make_eval_step(cfg: ModelConfig):
     @partial(jax.jit, static_argnames=())
     def eval_step(params, model_state, batch):
@@ -74,8 +85,7 @@ def evaluate(cfg: ModelConfig, params, model_state, sample_iter, *,
             sigm = sigm_b[j, :, :, 0]
             oh, ow = sample["orig_size"]
             target = np.asarray(sample["target_native"]) > 0
-            pred = resize_and_crop((up > SCORE_THRESHOLD).astype(np.float32),
-                                   oh, ow) > 0.5
+            pred = native_prediction(up, oh, ow)
             acc.update(np.sum(np.logical_and(pred, target)),
                        np.sum(np.logical_or(pred, target)))
             if use_crf:
@@ -120,7 +130,7 @@ def make_sharded_eval_step(cfg: ModelConfig):
     @jax.jit
     def eval_step(params, model_state, batch):
         outputs, _ = apply_model(params, model_state, cfg, batch, train=False)
-        pred = outputs.up[..., 0] > SCORE_THRESHOLD        # [B,H,W]
+        pred = outputs.up[..., 0] >= SCORE_THRESHOLD       # [B,H,W]
         target = batch["target"][..., 0] > 0.5
         i = jnp.sum(jnp.logical_and(pred, target), axis=(1, 2))
         u = jnp.sum(jnp.logical_or(pred, target), axis=(1, 2))

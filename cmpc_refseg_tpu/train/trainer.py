@@ -91,7 +91,11 @@ def make_train_step(cfg: ModelConfig) -> Callable:
                                             state.trainable)
         new_trainable = jax.tree.map(lambda p, u: p + u, state.trainable,
                                      updates)
-        metrics["learning_rate"] = polynomial_lr(cfg)(state.step)
+        # Under grad accumulation the Adam schedule advances once per
+        # UPDATE, not per micro-step: read MultiSteps' gradient_step (the
+        # inner update count) so the logged LR is the one Adam applies.
+        lr_step = getattr(state.opt_state, "gradient_step", state.step)
+        metrics["learning_rate"] = polynomial_lr(cfg)(jnp.asarray(lr_step))
         new_state = TrainState(
             trainable=new_trainable, frozen=state.frozen,
             model_state=new_model_state, opt_state=new_opt_state,
@@ -144,6 +148,13 @@ class PreemptionGuard:
 
     def _handle(self, signum, frame):
         self.fired = True
+        # Restore the previous handlers immediately: if the step never
+        # reaches the next boundary (e.g. a long XLA compile), a second
+        # SIGINT must still be able to interrupt the process.
+        import signal
+        for sig, h in self._prev.items():
+            signal.signal(sig, h)
+        self._prev = {}
 
     def __exit__(self, *exc):
         import signal

@@ -173,12 +173,15 @@ class TestQuantizedBackbone:
         p = init_backbone(jax.random.PRNGKey(0), 2)
         pq = quantize_backbone(p)
         u = pq["res2a"]["branch2b"]
+        w = np.asarray(p["res2a"]["branch2b"]["w"])
         assert u["w_q"].dtype == np.int8
-        assert u["w_q"].shape == u["w"].shape
-        assert u["w_scale"].shape == (u["w"].shape[-1],)
+        assert u["w_q"].shape == w.shape
+        assert u["w_scale"].shape == (w.shape[-1],)
+        # the f32 kernel is dropped — serving must not device_put both
+        assert "w" not in u
         # int8 range actually used, and dequant reconstructs the kernel
         assert np.abs(u["w_q"]).max() == 127
-        np.testing.assert_allclose(u["w_q"] * u["w_scale"], u["w"],
+        np.testing.assert_allclose(u["w_q"] * u["w_scale"], w,
                                    atol=float(u["w_scale"].max()))
         # original params untouched (quantize returns a new tree)
         assert "w_q" not in p["res2a"]["branch2b"]

@@ -295,3 +295,23 @@ class TestGradAccum:
         for a, b in zip(jax.tree.leaves(up2), jax.tree.leaves(want)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-6, atol=1e-9)
+
+    def test_logged_lr_matches_applied_lr_at_accum4(self, rng=None):
+        """With grad_accum=4, the Adam schedule advances once per UPDATE
+        (MultiSteps gradient_step), so the logged LR must be
+        schedule(micro_step // 4) — not schedule(micro_step), which would
+        run 4x ahead of the LR Adam actually applies."""
+        rng = np.random.default_rng(0)
+        cfg = get_config("CMPC_model", **TINY, grad_accum=4)
+        state = create_train_state(jax.random.PRNGKey(0), cfg)
+        step_fn = make_train_step(cfg)
+        sched = polynomial_lr(cfg)
+        for it in range(9):
+            # the inner update count BEFORE this micro-step == the count the
+            # schedule is evaluated at when this micro-step triggers an update
+            applied_count = int(state.opt_state.gradient_step)
+            assert applied_count == it // 4
+            state, metrics = step_fn(state, make_batch(cfg, rng))
+            np.testing.assert_allclose(
+                float(metrics["learning_rate"]),
+                float(sched(jnp.asarray(applied_count))), rtol=1e-6)

@@ -88,8 +88,25 @@ def convert_backbone_from_kaffe_npy(npy_path: str, params_bb: dict,
     return params_bb
 
 
-def convert_head(get, params, cfg, scope="text_objseg"):
-    """Fill head params from reference variable names."""
+def convert_head(get, params, cfg, scope="text_objseg", state=None):
+    """Fill head params from reference variable names.
+
+    Covers every checkpointable variant family:
+    - base/v2/v3: LSTM encoder + multiscore decoder (CMPC_model.py);
+    - v4/v5: ASPP + v3+ decoder slim variables incl. LIVE BN statistics
+      (CMPCv4_model.py:181-242) — pass `state` to fill them;
+    - BiLSTM (T/T2/v5_BiLSTM): bidirectional_dynamic_rnn fw/bw scopes +
+      the words_feat merge conv (CMPCv4_BiLSTM_T_model.py:161-187);
+    - BERT: no embedding/LSTM vars (features are placeholders,
+      CMPCv4_BERT_model.py:80-83); graph vw-projection shares the
+      words_trans/spa_graph_trans2 names at vw_emb_dim (:445-453);
+    - v6: per-exchanged-feature global vectors + self gate
+      (CMPCv6_model.py:323-339 — scopes `{key}gv_f` / `_f` for self,
+      `{key}gv_f1` / `_f1` for the other level);
+    - v6+: entity_fusion_/sent_fusion_ mutan prefixes
+      (CMPCv6_plus_model.py:419-427) and stacked gconvs spa_graph_0/1
+      (:494-496).
+    """
     def conv(scope_name):
         return {"DW": get(f"{scope}/{scope_name}/DW"),
                 "biases": get(f"{scope}/{scope_name}/biases")}
@@ -98,34 +115,67 @@ def convert_head(get, params, cfg, scope="text_objseg"):
         return {"gamma": get(f"{scope}/{scope_name}/gamma"),
                 "beta": get(f"{scope}/{scope_name}/beta")}
 
-    # text encoder
-    params["text"]["embedding"] = get(f"{scope}/Variable")
-    if "lstm" in params["text"]:
-        params["text"]["lstm"] = {
-            "kernel": get(f"{scope}/rnn/lstm_cell/kernel"),
-            "bias": get(f"{scope}/rnn/lstm_cell/bias"),
+    def gv(name):
+        """global_vec scope set (CMPC_model.py:212-243)."""
+        return {
+            "spa_graph_key": conv(f"spa_graph_key_{name}"),
+            "lang_query": conv(f"lang_query_{name}"),
+            "gv_lang": conv(f"gv_lang_{name}"),
         }
+
+    def mutan(level_name):
+        """Stack the 5 per-head convs along the output axis
+        (mutan_head scopes `vis_trans_{level}_head{i}`, CMPC_model.py:295-328)."""
+        vis_k = [get(f"{scope}/vis_trans_{level_name}_head{i}/DW")
+                 for i in range(1, 6)]
+        vis_b = [get(f"{scope}/vis_trans_{level_name}_head{i}/biases")
+                 for i in range(1, 6)]
+        lang_k = [get(f"{scope}/lang_trans_{level_name}_head{i}/DW")
+                  for i in range(1, 6)]
+        lang_b = [get(f"{scope}/lang_trans_{level_name}_head{i}/biases")
+                  for i in range(1, 6)]
+        return {
+            "vis_trans": {"DW": np.concatenate(vis_k, axis=-1),
+                          "biases": np.concatenate(vis_b, axis=-1)},
+            "lang_trans": {"DW": np.concatenate(lang_k, axis=-1),
+                           "biases": np.concatenate(lang_b, axis=-1)},
+        }
+
+    # text encoder
+    if cfg.text_encoder == "bert":
+        pass   # features are placeholders; no embedding/LSTM variables
+    else:
+        params["text"]["embedding"] = get(f"{scope}/Variable")
+        if "lstm" in params["text"]:
+            params["text"]["lstm"] = {
+                "kernel": get(f"{scope}/rnn/lstm_cell/kernel"),
+                "bias": get(f"{scope}/rnn/lstm_cell/bias"),
+            }
+        if "lstm_fw" in params["text"]:
+            # bidirectional_dynamic_rnn default scope
+            # (CMPCv4_BiLSTM_T_model.py:166-171)
+            base = f"{scope}/bidirectional_rnn"
+            params["text"]["lstm_fw"] = {
+                "kernel": get(f"{base}/fw/lstm_cell/kernel"),
+                "bias": get(f"{base}/fw/lstm_cell/bias")}
+            params["text"]["lstm_bw"] = {
+                "kernel": get(f"{base}/bw/lstm_cell/kernel"),
+                "bias": get(f"{base}/bw/lstm_cell/bias")}
+            # fw/bw concat -> 1x1 merge conv (:178)
+            params["text"]["words_feat"] = conv("words_feat")
     params["parser"]["words_parse_1"] = conv("words_parse_1")
     params["parser"]["words_parse_2"] = conv("words_parse_2")
 
     for lv in cfg.levels:
         lp = params["levels"][lv]
         params["laterals"][lv] = conv(f"{lv}_lateral")
-        # mutan heads: stack 5 per-head convs along the output axis
-        vis_k = [get(f"{scope}/vis_trans_{lv}_head{i}/DW")
-                 for i in range(1, 6)]
-        vis_b = [get(f"{scope}/vis_trans_{lv}_head{i}/biases")
-                 for i in range(1, 6)]
-        lang_k = [get(f"{scope}/lang_trans_{lv}_head{i}/DW")
-                  for i in range(1, 6)]
-        lang_b = [get(f"{scope}/lang_trans_{lv}_head{i}/biases")
-                  for i in range(1, 6)]
-        lp["mutan"]["vis_trans"] = {
-            "DW": np.concatenate(vis_k, axis=-1),
-            "biases": np.concatenate(vis_b, axis=-1)}
-        lp["mutan"]["lang_trans"] = {
-            "DW": np.concatenate(lang_k, axis=-1),
-            "biases": np.concatenate(lang_b, axis=-1)}
+        # v6+ prefixes the mutan scopes (CMPCv6_plus_model.py:419,427)
+        lp["mutan"] = {**lp["mutan"],
+                       **mutan(f"entity_fusion_{lv}" if cfg.sent_fusion
+                               else lv)}
+        if "sent_mutan" in lp:
+            lp["sent_mutan"] = {**lp["sent_mutan"],
+                                **mutan(f"sent_fusion_{lv}")}
         lp["graph"]["words_trans"] = conv(f"words_trans_{lv}")
         lp["graph"]["spa_graph_trans2"] = conv(f"spa_graph_trans2_{lv}")
         for i, gp in enumerate(lp["graph"]["gconv"]):
@@ -141,11 +191,16 @@ def convert_head(get, params, cfg, scope="text_objseg"):
     ex = params["fusion_stack"]["exchange"]
     for key, p in ex.items():
         if "gv" in p:
-            p["gv"] = {
-                "spa_graph_key": conv(f"spa_graph_key_{key}gv_f1"),
-                "lang_query": conv(f"lang_query_{key}gv_f1"),
-                "gv_lang": conv(f"gv_lang_{key}gv_f1"),
-            }
+            p["gv"] = gv(f"{key}gv_f1")
+        else:
+            # v6 layout (CMPCv6_model.py:323-339): gv+se on the target
+            # feature itself (`gv_f` / `_f`), then one gv+se per other
+            # level (`gv_f1` / `_f1`, ...)
+            p["gv_self"] = gv(f"{key}gv_f")
+            p["se_self"] = {"lang_feat": conv(f"lang_feat_{key}_f"),
+                            "trans_feat": conv(f"trans_feat_{key}_f")}
+            p["gv_each"] = [gv(f"{key}gv_f{i}")
+                            for i in range(1, len(p["gv_each"]) + 1)]
         for i, se in enumerate(p["se"], start=1):
             se["lang_feat"] = conv(f"lang_feat_{key}_f{i}")
             se["trans_feat"] = conv(f"trans_feat_{key}_f{i}")
@@ -163,6 +218,58 @@ def convert_head(get, params, cfg, scope="text_objseg"):
 
     if "score" in params["scores"]:
         params["scores"]["score"] = conv("score")
+
+    if cfg.decoder == "aspp_v3plus":
+        convert_aspp_decoder(get, params, state, scope=scope)
+    return params
+
+
+# slim conv2d scope -> our aspp/decoder param keys.  The model builds under
+# variable_scope('text_objseg') (CMPCv4_model.py:95); ASPP at :212-242,
+# decoder at :181-197.  resnet_arg_scope attaches BatchNorm (scale=True) to
+# every conv except the final decoder 1x1 logits conv
+# (activation_fn=None, normalizer_fn=None -> weights + biases).
+ASPP_SCOPES = {
+    "conv_1x1": "aspp/conv_1x1",
+    "conv_3x3_1": "aspp/conv_3x3_1",
+    "conv_3x3_2": "aspp/conv_3x3_2",
+    "conv_3x3_3": "aspp/conv_3x3_3",
+    "image_level": "aspp/image_level_features/conv_1x1",
+    "conv_1x1_concat": "aspp/conv_1x1_concat",
+}
+DECODER_BN_SCOPES = {
+    "low_level": "decoder/low_level_features/conv_1x1",
+    "conv_3x3_1": "decoder/upsampling_logits/conv_3x3_1",
+    "conv_3x3_2": "decoder/upsampling_logits/conv_3x3_2",
+}
+DECODER_LOGITS_SCOPE = "decoder/upsampling_logits/conv_1x1"
+
+
+def convert_aspp_decoder(get, params, state, scope="text_objseg"):
+    """Fill ASPP + DeepLabv3+ decoder params AND live-BN state from slim
+    variable names (CMPCv4_model.py:181-242).  Unlike the frozen backbone
+    BN (folded into scale/offset), these BN layers train in the reference
+    (update_ops dependency), so moving_mean/variance land in `state` and
+    gamma/beta stay separate parameters."""
+    def bn_unit(tfscope):
+        p = {"DW": get(f"{scope}/{tfscope}/weights"),
+             "gamma": get(f"{scope}/{tfscope}/BatchNorm/gamma"),
+             "beta": get(f"{scope}/{tfscope}/BatchNorm/beta")}
+        s = {"mean": get(f"{scope}/{tfscope}/BatchNorm/moving_mean"),
+             "var": get(f"{scope}/{tfscope}/BatchNorm/moving_variance")}
+        return p, s
+
+    for key, sc in ASPP_SCOPES.items():
+        params["aspp"][key], st = bn_unit(sc)
+        if state is not None:
+            state["aspp"][key] = st
+    for key, sc in DECODER_BN_SCOPES.items():
+        params["decoder"][key], st = bn_unit(sc)
+        if state is not None:
+            state["decoder"][key] = st
+    params["decoder"]["conv_1x1"] = {
+        "DW": get(f"{scope}/{DECODER_LOGITS_SCOPE}/weights"),
+        "biases": get(f"{scope}/{DECODER_LOGITS_SCOPE}/biases")}
     return params
 
 
@@ -181,7 +288,7 @@ def convert(ckpt_path: str, model_name: str, overrides=None):
         return np.asarray(reader.get_tensor(name))
 
     convert_backbone(reader, get, params["backbone"])
-    convert_head(get, params, cfg)
+    convert_head(get, params, cfg, state=state)
     return cfg, params, state
 
 

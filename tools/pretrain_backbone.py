@@ -249,10 +249,16 @@ def make_train_step(cfg):
                 ce = ce + voc_ce_loss(ls, lbl, cfg["num_classes"])
         else:
             ce = voc_ce_loss(logits, labels, cfg["num_classes"])
+        if cfg["opt"] == "adam":
+            # fine_tune.py:148-150 — the head-only Adam loss is plain CE
+            # with no l2 term.
+            return ce, ce
+        # tf.nn.l2_loss(v) = sum(v^2)/2 (train.py/train_msc.py l2_losses):
+        # the 0.5 keeps --weight-decay on the reference's scale.
         wd = sum(jnp.sum(jnp.square(l))
                  for p, l in jax.tree_util.tree_leaves_with_path(train_p)
                  if p[-1].key == "w")
-        return ce + cfg["weight_decay"] * wd, ce
+        return ce + cfg["weight_decay"] * 0.5 * wd, ce
 
     def lr_mult(path):
         if head_bias_filter([p.key for p in path]):
@@ -317,6 +323,10 @@ def run_train(args):
     train_p, frozen_p = split_trainable(params, args.scope)
     opt, step = make_train_step(cfg)
     opt_state = opt.init(train_p)
+    start_step = args.start_step
+    if args.restore_opt:
+        opt_state, start_step = load_opt_state_npz(args.restore_opt,
+                                                   opt_state)
     frozen_p = jax.device_put(frozen_p)
 
     images, masks = read_data_list(args.data_dir, args.data_list)
@@ -326,11 +336,11 @@ def run_train(args):
     order = rng.permutation(len(images))
     pos = 0
     guard = PreemptionGuard().__enter__()
-    for it in range(args.num_steps):
+    for it in range(start_step, args.num_steps):
         if guard.fired:
             if args.snapshot_dir:
                 save_params(args.snapshot_dir, it,
-                            merge_trees(train_p, frozen_p))
+                            merge_trees(train_p, frozen_p), opt_state)
             print(f"preempted at iter {it}: snapshot saved, exiting cleanly",
                   flush=True)
             guard.__exit__()
@@ -358,11 +368,11 @@ def run_train(args):
                   flush=True)
         if args.snapshot_dir and (it + 1) % args.save_every == 0:
             save_params(args.snapshot_dir, it + 1,
-                        merge_trees(train_p, frozen_p))
+                        merge_trees(train_p, frozen_p), opt_state)
     guard.__exit__()
     if args.snapshot_dir:
         save_params(args.snapshot_dir, args.num_steps,
-                    merge_trees(train_p, frozen_p))
+                    merge_trees(train_p, frozen_p), opt_state)
     return float(loss)
 
 
@@ -375,13 +385,31 @@ def merge_trees(a, b):
     return out
 
 
-def save_params(snapshot_dir, step, params):
+def save_params(snapshot_dir, step, params, opt_state=None):
+    """Save params (and, when given, the optimizer state + step) so resume
+    continues momentum and the poly-LR decay rather than restarting them
+    (TF's Saver checkpoints momentum slots via global_variables)."""
     os.makedirs(snapshot_dir, exist_ok=True)
     flat, _ = jax.tree_util.tree_flatten_with_path(params)
     out = os.path.join(snapshot_dir, f"model_step{step}.npz")
     np.savez(out, **{jax.tree_util.keystr(k): np.asarray(v)
                      for k, v in flat})
+    if opt_state is not None:
+        oflat = jax.tree_util.tree_leaves(opt_state)
+        oout = os.path.join(snapshot_dir, f"opt_step{step}.npz")
+        np.savez(oout, step=np.asarray(step),
+                 **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(oflat)})
     print(f"saved {out}", flush=True)
+
+
+def load_opt_state_npz(path, opt_state):
+    """Restore (opt_state, step) saved by save_params; `opt_state` supplies
+    the tree structure (from a fresh opt.init on the same trainable set)."""
+    data = np.load(path)
+    leaves, treedef = jax.tree_util.tree_flatten(opt_state)
+    restored = [np.asarray(data[f"leaf_{i}"], dtype=np.asarray(l).dtype)
+                for i, l in enumerate(leaves)]
+    return jax.tree_util.tree_unflatten(treedef, restored), int(data["step"])
 
 
 def load_params_npz(path, params):
@@ -478,6 +506,12 @@ def build_argparser():
     ap.add_argument("--data-list", default="train.txt")
     ap.add_argument("--image"), ap.add_argument("--out", default="pred.png")
     ap.add_argument("--restore", help="params .npz (save_params/converter)")
+    ap.add_argument("--restore-opt",
+                    help="opt_step*.npz saved alongside a snapshot; restores "
+                         "momentum + LR-schedule count and the step")
+    ap.add_argument("--start-step", type=int, default=0,
+                    help="continue the data loop from this iteration "
+                         "(overridden by --restore-opt's recorded step)")
     ap.add_argument("--snapshot-dir", default="")
     ap.add_argument("--num-classes", type=int, default=21)
     ap.add_argument("--batch-size", type=int, default=10)
