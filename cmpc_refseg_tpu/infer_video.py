@@ -72,7 +72,8 @@ def iter_video_expressions(meta_path: str):
 def run_inference(cfg, params, model_state, *, meta_path: str, im_dir: str,
                   out_dir: str, vocab_path: str, threshold: float = 0.5,
                   use_crf: bool = False, frame_batch: int = 8,
-                  half_resolution: bool = True, max_expressions=None):
+                  half_resolution: bool = True, max_expressions=None,
+                  inconsistency_report: bool = False):
     import jax
     from cmpc_refseg_tpu.data.image import IMAGE_MEAN_BGR, resize_and_pad
     from cmpc_refseg_tpu.data.text import (load_vocab_dict_from_file,
@@ -88,8 +89,27 @@ def run_inference(cfg, params, model_state, *, meta_path: str, im_dir: str,
     from cmpc_refseg_tpu.models.model import prepare_params
     params = prepare_params(params, cfg)
     params, model_state = jax.device_put((params, model_state))
-    fwd = jax.jit(lambda p, s, b: apply_model(p, s, cfg, b)[0].sigm)
 
+    import jax.numpy as _jnp
+
+    lv_lo, lv_hi = cfg.levels[0], cfg.levels[-1]
+
+    def _area(x):
+        return _jnp.sum(x.astype(_jnp.float32), axis=(1, 2, 3))
+
+    @jax.jit
+    def fwd(p, s, b):
+        out = apply_model(p, s, cfg, b)[0]
+        # Per-frame consistency score between the two aux heads
+        # (commented CMPCv5_model.py:146: iou_with_threshold(sigm(score_c4),
+        # sigm(score_c5), 0.2); test_v5+.py:302-303 flags score < 0.3).
+        a = jax.nn.sigmoid(out.up_levels[lv_lo]) > 0.2
+        c = jax.nn.sigmoid(out.up_levels[lv_hi]) > 0.2
+        inter = _area(a & c)
+        union = _area(a) + _area(c) - inter
+        return out.sigm, inter / union     # NaN when both heads are empty
+
+    inconsistent = []
     n_expr = 0
     for vid, eid, exp, frames in iter_video_expressions(meta_path):
         if max_expressions is not None and n_expr >= max_expressions:
@@ -118,8 +138,13 @@ def run_inference(cfg, params, model_state, *, meta_path: str, im_dir: str,
                 "words": np.tile(tokens[None], (frame_batch, 1)),
                 "seq_len": np.full((frame_batch,), seq_len, np.int32),
             }
-            sigm = np.asarray(fwd(params, model_state, batch))[:, :, :, 0]
+            sigm_b, cons_b = fwd(params, model_state, batch)
+            sigm = np.asarray(sigm_b)[:, :, :, 0]
+            cons = np.asarray(cons_b)
             for k, frame in enumerate(chunk):
+                if (inconsistency_report and np.isfinite(cons[k])
+                        and cons[k] < 0.3):
+                    inconsistent.append((vid, eid, frame))
                 native = natives[k]
                 oh, ow = native.shape[:2]
                 if half_resolution:
@@ -138,6 +163,11 @@ def run_inference(cfg, params, model_state, *, meta_path: str, im_dir: str,
                 saver.save_image(
                     os.path.join(out_dir, vid, eid, f"{frame}.png"), mask)
     saver.flush()
+    if inconsistency_report:
+        # reference filename typo preserved (test_v5+.py:354)
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "inconsitent_frames.json"), "w") as f:
+            json.dump([list(t) for t in inconsistent], f)
     return n_expr
 
 
@@ -152,6 +182,10 @@ def main(argv=None):
     ap.add_argument("-threshold", type=float, default=0.5)
     ap.add_argument("-c", dest="use_crf", action="store_true")
     ap.add_argument("-full_res", dest="full_res", action="store_true")
+    ap.add_argument("-inconsistency_report", action="store_true",
+                    help="write inconsitent_frames.json (test_v5+.py:354 "
+                         "surface): frames whose c4/c5 aux-head masks "
+                         "disagree (IoU@0.2 < 0.3)")
     ap.add_argument("-emb", dest="emb_name", default="refvos")
     ap.add_argument("-emb_dir", dest="emb_dir", default="data")
     args = ap.parse_args(argv)
@@ -174,7 +208,8 @@ def main(argv=None):
                       im_dir=args.im_dir, out_dir=args.out_dir,
                       vocab_path=args.vocab, threshold=args.threshold,
                       use_crf=args.use_crf,
-                      half_resolution=not args.full_res)
+                      half_resolution=not args.full_res,
+                      inconsistency_report=args.inconsistency_report)
     print(f"done: {n} expressions")
 
 

@@ -45,3 +45,31 @@ def spatial_batch(batch: int, h: int, w: int, dtype=jnp.float32) -> jnp.ndarray:
     """[batch, h, w, 8] tiled grid (generate_spatial_batch parity)."""
     return jnp.broadcast_to(spatial_coordinate_grid(h, w, dtype)[None],
                             (batch, h, w, 8))
+
+
+def generate_bilinear_filter(stride: int) -> np.ndarray:
+    """[2*stride, 2*stride, 1, 1] bilinear upsampling kernel
+    (util/processing_tools.py:19-22): the outer product of a triangular
+    ramp 0..stride..1 — the classic FCN deconv initializer."""
+    f = np.concatenate((np.arange(0, stride),
+                        np.arange(stride, 0, -1))) / stride
+    return np.outer(f, f).astype(np.float32)[:, :, np.newaxis, np.newaxis]
+
+
+def spatial_feature_from_bbox(bboxes, imsize) -> np.ndarray:
+    """[N, 8] normalized box features (util/processing_tools.py:44-60):
+    corners/center in [-1, 1] plus width/height; imsize is (w, h)."""
+    bboxes = np.asarray(bboxes).reshape((-1, 4))
+    im_w, im_h = imsize
+    assert np.all(bboxes[:, 0] < im_w) and np.all(bboxes[:, 2] < im_w)
+    assert np.all(bboxes[:, 1] < im_h) and np.all(bboxes[:, 3] < im_h)
+    feats = np.zeros((bboxes.shape[0], 8))
+    feats[:, 0] = bboxes[:, 0] * 2.0 / im_w - 1   # x1
+    feats[:, 1] = bboxes[:, 1] * 2.0 / im_h - 1   # y1
+    feats[:, 2] = bboxes[:, 2] * 2.0 / im_w - 1   # x2
+    feats[:, 3] = bboxes[:, 3] * 2.0 / im_h - 1   # y2
+    feats[:, 4] = (feats[:, 0] + feats[:, 2]) / 2  # x center
+    feats[:, 5] = (feats[:, 1] + feats[:, 3]) / 2  # y center
+    feats[:, 6] = feats[:, 2] - feats[:, 0]        # w
+    feats[:, 7] = feats[:, 3] - feats[:, 1]        # h
+    return feats

@@ -56,9 +56,12 @@ class Permutohedral {
         offset_.assign((size_t)N * (d + 1), 0);
         weight_.assign((size_t)N * (d + 1), 0.f);
 
-        // embedding scale factors
+        // Embedding scale factors: the elevated basis E has columns of
+        // squared norm (i+1)(i+2); scaling by sqrt(2/3)*(d+1) makes the
+        // [1 2 1] blur over the d+1 lattice directions equivalent to a
+        // unit-variance Gaussian in feature space (Adams et al. 2010, §4).
         std::vector<float> scale(d);
-        float inv_std = 1.0f / std::sqrt(2.0f / 3.0f * (d + 1));
+        float inv_std = std::sqrt(2.0f / 3.0f) * (float)(d + 1);
         for (int i = 0; i < d; ++i)
             scale[i] = inv_std / std::sqrt((float)(i + 1) * (i + 2));
 
@@ -267,6 +270,17 @@ struct PairwiseKernel {
 }  // namespace
 
 extern "C" {
+
+// Raw lattice filter (test/diagnostic surface): out = approx(K @ values)
+// where K_ij = exp(-||f_i - f_j||^2 / 2), self term included.
+int permutohedral_filter(const float* features, const float* values,
+                         float* out, int N, int d, int vdim) {
+    if (N <= 0 || d <= 0 || vdim <= 0) return 1;
+    Permutohedral p;
+    p.init(features, N, d);
+    p.compute(values, out, vdim);
+    return 0;
+}
 
 int densecrf2d_refine(const unsigned char* rgb, const float* prob,
                       float* out, int H, int W,

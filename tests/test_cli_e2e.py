@@ -221,3 +221,45 @@ def test_ytvos_inference_writes_masks(tmp_path):
             m = np.asarray(Image.open(p))
             assert m.shape == (24, 32)        # half resolution
             assert set(np.unique(m)) <= {0, 255}
+
+
+def test_ytvos_inference_inconsistency_report(tmp_path):
+    """-inconsistency_report writes inconsitent_frames.json (reference
+    test_v5+.py:354 surface, typo preserved): [vid, eid, frame] triples
+    whose c4/c5 aux-head masks disagree (IoU@0.2 < 0.3)."""
+    import json
+    from PIL import Image
+    from cmpc_refseg_tpu.config import get_config
+    from cmpc_refseg_tpu.infer_video import run_inference
+    from cmpc_refseg_tpu.models.model import init_model
+    import jax
+
+    root = str(tmp_path)
+    im_dir = os.path.join(root, "JPEGImages")
+    os.makedirs(os.path.join(im_dir, "v1"))
+    rng = np.random.default_rng(0)
+    Image.fromarray(rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)
+                    ).save(os.path.join(im_dir, "v1", "00000.jpg"))
+    meta = {"videos": {"v1": {"expressions": {"0": {"exp": "a thing"}},
+                              "frames": ["00000"]}}}
+    meta_path = os.path.join(root, "meta.json")
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh)
+    vocab_path = os.path.join(root, "vocab.txt")
+    with open(vocab_path, "w") as fh:
+        fh.write("\n".join(["<pad>", "<go>", "<eos>", "a", "thing",
+                            "<unk>"]))
+    cfg = get_config("CMPC_model", H=32, W=32, num_steps=6, vocab_size=6,
+                     glove_dim=8, rnn_size=16, v_emb_dim=16, mlp_dim=12,
+                     res4_blocks=2)
+    params, state = init_model(jax.random.PRNGKey(0), cfg)
+    out_dir = os.path.join(root, "results")
+    run_inference(cfg, params, state, meta_path=meta_path, im_dir=im_dir,
+                  out_dir=out_dir, vocab_path=vocab_path, frame_batch=1,
+                  inconsistency_report=True)
+    rpt = os.path.join(out_dir, "inconsitent_frames.json")
+    assert os.path.isfile(rpt)
+    entries = json.load(open(rpt))
+    assert isinstance(entries, list)
+    for e in entries:
+        assert e[:2] == ["v1", "0"]
