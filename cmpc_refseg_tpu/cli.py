@@ -83,6 +83,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("-glove_dim", type=int, default=None)
     p.add_argument("-res4_blocks", type=int, default=None)
     p.add_argument("-vocab_size", type=int, default=None)
+    p.add_argument("-distributed", action="store_true",
+                   help="multi-host: call jax.distributed.initialize before "
+                        "device use (cluster-env auto-discovery); each "
+                        "process reads batch_size/process_count samples "
+                        "and only process 0 checkpoints/logs")
     return p
 
 
@@ -272,6 +277,9 @@ def run_test(args):
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
+    if args.distributed:
+        from cmpc_refseg_tpu.parallel.mesh import initialize_distributed
+        initialize_distributed()   # before any other jax API
     if args.mode == "train":
         run_train(args)
     else:

@@ -18,6 +18,27 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> None:
+    """Multi-host entry (SURVEY.md section 5.8: gradient all-reduce over ICI
+    within a host's chips, DCN across hosts).  Call ONCE before any other
+    jax API; arguments default to the cluster environment (TPU pods
+    auto-discover; GPU/CPU clusters use JAX_COORDINATOR_ADDRESS etc.).
+
+    After this, `jax.devices()` is global, `jax.local_devices()` is this
+    process's slice, and `make_mesh()` spans all hosts — train steps written
+    as global-batch jit functions need no further changes."""
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def is_primary_process() -> bool:
+    """True on the process that should checkpoint/log (process 0)."""
+    return jax.process_index() == 0
+
+
 def make_mesh(num_devices: Optional[int] = None,
               axis_names: Sequence[str] = ("data",),
               shape: Optional[Sequence[int]] = None) -> Mesh:
@@ -45,10 +66,29 @@ def replicate(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: dict, mesh: Mesh, *, axis: str = "data") -> dict:
-    """device_put every array with its leading dim sharded over `axis`.
-    Host arrays must have batch divisible by the axis size."""
+    """Shard every array's leading (batch) dim over `axis`.
+
+    Single process: a plain device_put with the sharding.  Multi-host
+    (jax.process_count() > 1): each process passes its PROCESS-LOCAL batch
+    slice (global_batch / process_count rows, in process-index order) and
+    `jax.make_array_from_process_local_data` assembles the global array —
+    no host-global array ever materializes.  Batch must divide evenly."""
     sh = data_sharding(mesh, axis=axis)
+    if jax.process_count() > 1:
+        return {k: jax.make_array_from_process_local_data(sh, np.asarray(v))
+                for k, v in batch.items()}
     return {k: jax.device_put(v, sh) for k, v in batch.items()}
+
+
+def global_batch_from_local(batch: dict, mesh: Mesh, *,
+                            axis: str = "data") -> dict:
+    """Always-global assembly via make_array_from_process_local_data (the
+    multi-host input path, callable in single-process too — there the local
+    slice IS the global batch).  shard_batch dispatches to this
+    automatically when process_count > 1."""
+    sh = data_sharding(mesh, axis=axis)
+    return {k: jax.make_array_from_process_local_data(sh, np.asarray(v))
+            for k, v in batch.items()}
 
 
 def tp_shardings(tree, mesh: Mesh, *, axis: str = "model",

@@ -204,17 +204,28 @@ def train_loop(cfg: ModelConfig, reader, *, max_iter: int, mesh=None,
 def _train_iters(cfg, reader, state, step_fn, time_avg, last, guard, *,
                  max_iter, mesh, log_every, snapshot_every, checkpoint_dir,
                  logger, start_iter, val_fn, val_every):
-    from cmpc_refseg_tpu.parallel.mesh import shard_batch
+    from cmpc_refseg_tpu.parallel.mesh import is_primary_process, shard_batch
+
+    # Multi-host: cfg.batch_size is the GLOBAL batch; each process reads its
+    # own 1/process_count slice and shard_batch assembles the global array
+    # (jax.make_array_from_process_local_data).  Only process 0 checkpoints
+    # and logs.
+    n_proc = jax.process_count()
+    if cfg.batch_size % max(n_proc, 1):
+        raise ValueError(f"global batch {cfg.batch_size} not divisible by "
+                         f"{n_proc} processes")
+    local_bs = cfg.batch_size // max(n_proc, 1)
+    primary = is_primary_process()
 
     for it in range(start_iter, max_iter):
         if guard.fired:
-            if checkpoint_dir:
+            if checkpoint_dir and primary:
                 from cmpc_refseg_tpu.train.checkpoint import save_checkpoint
                 save_checkpoint(checkpoint_dir, state, it)
             print(f"preempted at iter {it}: checkpoint saved, exiting "
                   "cleanly", flush=True)
             return state
-        collated = reader.read_collated(cfg.batch_size)
+        collated = reader.read_collated(local_bs)
         batch = prepare_image_batch(collated, cfg)
         if mesh is not None:
             batch = shard_batch(batch, mesh)
@@ -223,7 +234,7 @@ def _train_iters(cfg, reader, state, step_fn, time_avg, last, guard, *,
         now = time.time()
         time_avg.add(now - last)
         last = now
-        if it % log_every == 0:
+        if it % log_every == 0 and primary:
             metrics = {k: float(v) for k, v in metrics.items()}
             metrics["step_time_s"] = time_avg.get()
             # console progress like the reference's iter printout
@@ -239,7 +250,7 @@ def _train_iters(cfg, reader, state, step_fn, time_avg, last, guard, *,
             if logger is not None:
                 logger.log(it + 1, {f"val_{k}": float(v)
                                     for k, v in val_metrics.items()})
-        if (checkpoint_dir and snapshot_every
+        if (checkpoint_dir and snapshot_every and primary
                 and (it + 1) % snapshot_every == 0):
             from cmpc_refseg_tpu.train.checkpoint import save_checkpoint
             save_checkpoint(checkpoint_dir, state, it + 1)

@@ -1,0 +1,162 @@
+"""Measure train steps/s with the REAL disk reader in the loop.
+
+Answers "can the host input pipeline feed the chip?" (the bench's train
+number uses synthetic in-RAM batches; the reference's reader was never the
+bottleneck at bs=1 sess.run speeds, but at TPU step rates it can be).
+
+Builds a synthetic on-disk RefVOS-style dataset (720p JPEG frames + palette
+PNG masks + train_meta.json, the generate_trainmeta.py layout), then runs
+the real RefVOSReader (thread or process workers) through train_loop and
+reports steps/s alongside the synthetic-batch ceiling measured with the
+same step function.
+
+Usage:
+  python tools/bench_reader_in_loop.py --steps 60 --workers 4
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_fake_dataset(root: str, n_images: int, native_h: int,
+                       native_w: int, seed: int = 0):
+    """YouTube-VOS-style tree: JPEGImages/v*/f*.jpg + Annotations PNG masks
+    + train_meta.json + vocabulary file."""
+    from PIL import Image
+    from cmpc_refseg_tpu.data.refvos import OBJECT_COLOR
+
+    im_dir = os.path.join(root, "JPEGImages")
+    mask_dir = os.path.join(root, "Annotations")
+    rng = np.random.default_rng(seed)
+    records = []
+    os.makedirs(os.path.join(im_dir, "v0"), exist_ok=True)
+    os.makedirs(os.path.join(mask_dir, "v0"), exist_ok=True)
+    color = np.asarray(OBJECT_COLOR["1"], np.uint8)
+    for i in range(n_images):
+        # blocky random content compresses like natural video (not noise)
+        small = rng.integers(0, 255, (native_h // 16, native_w // 16, 3),
+                             dtype=np.uint8)
+        im = np.asarray(Image.fromarray(small).resize(
+            (native_w, native_h), Image.BILINEAR))
+        cy, cx = rng.integers(60, native_h - 60), rng.integers(80, native_w - 80)
+        mask = np.zeros((native_h, native_w, 3), np.uint8)
+        mask[cy - 50:cy + 50, cx - 70:cx + 70] = color
+        Image.fromarray(im).save(
+            os.path.join(im_dir, "v0", f"{i:05d}.jpg"), quality=85)
+        Image.fromarray(mask).save(
+            os.path.join(mask_dir, "v0", f"{i:05d}.png"))
+        records.append([f"v0/{i:05d}.jpg", f"v0/{i:05d}.png",
+                        "the moving thing on the left", "1"])
+    meta_path = os.path.join(root, "train_meta.json")
+    with open(meta_path, "w") as f:
+        json.dump(records, f)
+    vocab_path = os.path.join(root, "vocab.txt")
+    with open(vocab_path, "w") as f:
+        f.write("\n".join(["<pad>", "<go>", "<eos>", "<unk>", "the",
+                           "moving", "thing", "on", "left"]))
+    return im_dir, mask_dir, meta_path, vocab_path
+
+
+def measure(step_fn, state, next_batch, n_steps: int, warmup: int = 5):
+    """steps/s with hard host sync each step (the reader is host-side, so
+    per-step sync reflects the real pipeline; device work overlaps the next
+    read only as far as async dispatch allows — same as production)."""
+    import jax
+    for _ in range(warmup):
+        state, m = step_fn(state, next_batch())
+    jax.block_until_ready(m["loss_cls_all"])
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, m = step_fn(state, next_batch())
+    jax.block_until_ready(m["loss_cls_all"])
+    np.asarray(m["loss_cls_all"])
+    dt = time.perf_counter() - t0
+    return n_steps / dt, state
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(__doc__)
+    ap.add_argument("--steps", type=int, default=60)
+    ap.add_argument("--images", type=int, default=192)
+    ap.add_argument("--workers", type=int, default=4)
+    ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--native", type=int, nargs=2, default=(720, 1280))
+    ap.add_argument("--root", default=None,
+                    help="reuse an existing generated dataset dir")
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny model geometry (CPU smoke test)")
+    args = ap.parse_args(argv)
+
+    import jax
+    from cmpc_refseg_tpu.utils.compile_cache import enable as enable_cache
+    enable_cache()
+    from cmpc_refseg_tpu.config import get_config
+    from cmpc_refseg_tpu.data.refvos import RefVOSReader
+    from cmpc_refseg_tpu.train.trainer import (create_train_state,
+                                               make_train_step,
+                                               prepare_image_batch)
+
+    root = args.root or tempfile.mkdtemp(prefix="reader_bench_")
+    if not os.path.isfile(os.path.join(root, "train_meta.json")):
+        print(f"building fake dataset ({args.images} frames) in {root} ...",
+              flush=True)
+        t0 = time.perf_counter()
+        build_fake_dataset(root, args.images, *args.native)
+        print(f"  built in {time.perf_counter() - t0:.1f}s", flush=True)
+    im_dir = os.path.join(root, "JPEGImages")
+    mask_dir = os.path.join(root, "Annotations")
+    meta_path = os.path.join(root, "train_meta.json")
+    vocab_path = os.path.join(root, "vocab.txt")
+
+    on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    tiny = dict(H=32, W=32, num_steps=6, glove_dim=8,
+                rnn_size=16, v_emb_dim=16, mlp_dim=12,
+                res4_blocks=2) if args.tiny else {}
+    cfg = get_config("CMPC_model", batch_size=args.batch_size,
+                     compute_dtype="bfloat16" if on_tpu else "float32",
+                     vocab_size=16, **tiny)
+    state = create_train_state(jax.random.PRNGKey(0), cfg)
+    state = jax.device_put(state)
+    step_fn = make_train_step(cfg)
+
+    reader = RefVOSReader(im_dir, mask_dir, meta_path, vocab_path,
+                          T=cfg.num_steps, input_h=cfg.H, input_w=cfg.W,
+                          num_workers=args.workers,
+                          prefetch_num=4 * args.batch_size)
+
+    def disk_batch():
+        return prepare_image_batch(reader.read_collated(cfg.batch_size), cfg)
+
+    # synthetic ceiling: one pre-built batch, re-fed
+    fixed = disk_batch()
+
+    ceil_sps, state = measure(step_fn, state, lambda: fixed, args.steps)
+    disk_sps, state = measure(step_fn, state, disk_batch, args.steps)
+
+    result = {
+        "metric": "reader_in_loop_steps_per_s",
+        "value": round(disk_sps, 2),
+        "unit": "steps/s",
+        "synthetic_ceiling_steps_per_s": round(ceil_sps, 2),
+        "efficiency_vs_synthetic": round(disk_sps / ceil_sps, 3),
+        "img_per_s": round(disk_sps * args.batch_size, 1),
+        "workers": args.workers,
+        "batch_size": args.batch_size,
+        "platform": jax.devices()[0].platform,
+    }
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main()
