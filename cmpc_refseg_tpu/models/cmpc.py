@@ -243,15 +243,31 @@ def apply_lang2vis(params, cfg, visual_feat, words_feat, words_parse,
             words_parse, words_feat,
             tuple(range(cfg.parse_classes - 1)))              # all but U
         feat_all = apply_mutan(params["sent_mutan"], nec, spatial, graph_feat)
-    else:
-        b, h, w, _ = visual_feat.shape
-        dt = vis_la_sp.dtype
-        lang_tiled = jnp.broadcast_to(valid.astype(dt),
-                                      (b, h, w, valid.shape[-1]))
-        feat_all = jnp.concatenate(
-            [vis_la_sp, graph_feat, lang_tiled, spatial.astype(dt)], axis=-1)
-    fusion = jax.nn.relu(conv2d(params["fusion"], feat_all))
-    return fusion, gw
+        fusion = jax.nn.relu(conv2d(params["fusion"], feat_all))
+        return fusion, gw
+
+    # concat([vis_la_sp, graph, tiled lang, spatial]) -> 1x1 conv
+    # (CMPC_model.py:338-345) computed WITHOUT materializing the concat:
+    # the [B,40,40,2C+Cl+8] tensor costs ~77 MB of HBM round-trip per level
+    # at bs=8/bf16, and the lang rows are one vector tiled HW times.
+    # Splitting the conv kernel along its input rows gives the identical
+    # sum: vis@Wv + graph@Wg + lang@Wl (computed once per sample, [B,1,1,d],
+    # broadcast) + spatial@Ws (broadcast over its own leading dims) + bias.
+    # Gradients flow through the slices into the canonical fused DW.
+    dt = vis_la_sp.dtype
+    C = vis_la_sp.shape[-1]
+    Cl = valid.shape[-1]
+    W = params["fusion"]["DW"][0, 0]                  # [2C+Cl+S, mlp]
+    pref = jnp.float32 if dt == jnp.float32 else None
+
+    def term(x, rows):
+        return jnp.einsum("...c,cd->...d", x.astype(dt), rows.astype(dt),
+                          preferred_element_type=pref).astype(dt)
+
+    y = (term(vis_la_sp, W[:C]) + term(graph_feat, W[C:2 * C])
+         + term(valid, W[2 * C:2 * C + Cl]) + term(spatial, W[2 * C + Cl:])
+         + params["fusion"]["biases"].astype(dt))
+    return jax.nn.relu(y), gw
 
 
 # ---------------------------------------------------------------------------
@@ -358,9 +374,16 @@ def convlstm_step(p, x, c, h, *, forget_bias: float = 1.0):
     on o the NEW cell; j/i/f/o/c are all layer-normalized (whole-sample,
     tf.contrib semantics); normalize=True means no conv bias."""
     dt = x.dtype
-    z = jnp.concatenate([x, h], axis=-1)
-    y = jnp.einsum("bhwc,cd->bhwd", z, p["kernel"][0, 0].astype(dt),
-                   preferred_element_type=jnp.float32).astype(dt)
+    # z = [x, h] @ W computed as x @ W[:C] + h @ W[C:]: the concat would
+    # round-trip a [B,H,W,2C] tensor through HBM (~25 MB/step at the
+    # reference geometry); the split is the same f32-accumulated sum
+    # reassociated.
+    w = p["kernel"][0, 0].astype(dt)
+    cin = x.shape[-1]
+    y = (jnp.einsum("bhwc,cd->bhwd", x, w[:cin],
+                    preferred_element_type=jnp.float32)
+         + jnp.einsum("bhwc,cd->bhwd", h, w[cin:],
+                      preferred_element_type=jnp.float32)).astype(dt)
     j, i, f, o = jnp.split(y, 4, axis=-1)
     i = i + p["W_ci"].astype(dt) * c
     f = f + p["W_cf"].astype(dt) * c
@@ -429,6 +452,92 @@ def init_fusion_stack(key, cfg):
     return p
 
 
+def apply_fusion_rounds_batched(p, cfg, feats: dict, lang_feat) -> dict:
+    """Both gated-exchange rounds with every per-level 1x1 conv batched
+    into ONE level-stacked einsum per role (keys / queries / gv / se-gates /
+    se-trans).
+
+    MEASURED SLOWER than the reference-shaped loop on v5e-1 (2.14 ms vs
+    0.90 ms for both rounds at bs=8/bf16; whole-model bench 505 -> 474
+    masks/s): the level-stack and the F[src] pair-gather materialize
+    ~115 MB of extra HBM copies per round, which outweighs the saved
+    kernel launches — XLA already fuses the sequential loop's small convs
+    well.  Kept (parity-tested) as the measured record of why
+    apply_fusion_stack uses the loop; the actual fusion-stack hotspot is
+    the ConvLSTM (1.49 ms), addressed by the fused Pallas step in
+    ops/pallas_kernels.py.  Standard exchange layout only (one gv per
+    target level, CMPC_model.py:245-259).
+    """
+    import numpy as onp
+
+    levels = list(cfg.levels)
+    L = len(levels)
+    b, h, w, c = feats[levels[0]].shape
+    n = h * w
+    F = jnp.stack([feats[lv] for lv in levels]).reshape(L, b, n, c)
+    dt = F.dtype
+    pref = jnp.float32 if dt == jnp.float32 else None
+    lang2 = lang_feat.reshape(b, -1)                       # [B, Cl]
+    ldt = lang2.dtype
+    lpref = jnp.float32 if ldt == jnp.float32 else None
+    cl = lang2.shape[-1]
+
+    # pair p -> (target level, source level):  row-major over targets
+    src = onp.array([o for l in range(L) for o in range(L) if o != l])
+    tgt = onp.repeat(onp.arange(L), L - 1)
+
+    for rnd in ("", "_2"):
+        ex = [p["exchange"][f"{lv}{rnd}"] for lv in levels]
+        se = [s for e in ex for s in e["se"]]
+        Wk = jnp.stack([e["gv"]["spa_graph_key"]["DW"][0, 0]
+                        for e in ex]).astype(dt)
+        bk = jnp.stack([e["gv"]["spa_graph_key"]["biases"]
+                        for e in ex]).astype(dt)
+        Wq = jnp.stack([e["gv"]["lang_query"]["DW"][0, 0]
+                        for e in ex]).astype(ldt)
+        bq = jnp.stack([e["gv"]["lang_query"]["biases"]
+                        for e in ex]).astype(ldt)
+        Wg = jnp.stack([e["gv"]["gv_lang"]["DW"][0, 0] for e in ex])
+        bg = jnp.stack([e["gv"]["gv_lang"]["biases"] for e in ex])
+        Wt = jnp.stack([s["trans_feat"]["DW"][0, 0] for s in se]).astype(dt)
+        bt = jnp.stack([s["trans_feat"]["biases"] for s in se]).astype(dt)
+        Wl = jnp.stack([s["lang_feat"]["DW"][0, 0] for s in se])
+        bl = jnp.stack([s["lang_feat"]["biases"] for s in se])
+
+        # global_vec, all levels at once (CMPC_model.py:212-243)
+        keys = (jnp.einsum("lbnc,lcd->lbnd", F, Wk,
+                           preferred_element_type=pref).astype(dt)
+                + bk[:, None, None, :])
+        q = (jnp.einsum("bc,lcd->lbd", lang2, Wq,
+                        preferred_element_type=lpref) + bq[:, None, :]
+             ).astype(dt)
+        attn = jnp.einsum("lbnc,lbc->lbn", keys, q,
+                          preferred_element_type=jnp.float32
+                          ) / (cfg.mlp_dim ** 0.5)
+        attn = jax.nn.softmax(attn, axis=-1)               # [L,B,N] f32
+        pooled = jnp.einsum("lbn,lbnc->lbc", attn.astype(dt), F,
+                            preferred_element_type=jnp.float32)
+        gv_in = jnp.concatenate(
+            [pooled, jnp.broadcast_to(lang2.astype(pooled.dtype)[None],
+                                      (L, b, cl))], axis=-1)
+        gv = jnp.einsum("lbc,lcd->lbd", gv_in, Wg,
+                        preferred_element_type=jnp.float32) + bg[:, None, :]
+        gv = l2_normalize(gv, axis=-1)                     # [L,B,C] f32
+
+        # lang_se, all (target, other) pairs at once (CMPC_model.py:194-210)
+        trans = (jnp.einsum("pbnc,pcd->pbnd", F[src], Wt,
+                            preferred_element_type=pref).astype(dt)
+                 + bt[:, None, None, :])
+        trans = jax.nn.relu(trans)
+        gate = jax.nn.sigmoid(
+            jnp.einsum("pbc,pcd->pbd", gv[tgt], Wl,
+                       preferred_element_type=jnp.float32) + bl[:, None, :])
+        contrib = trans * gate.astype(dt)[:, :, None, :]
+        F = l2_normalize(F + contrib.reshape(L, L - 1, b, n, c).sum(1), -1)
+
+    return {lv: F[i].reshape(b, h, w, c) for i, lv in enumerate(levels)}
+
+
 def apply_fusion_stack(p, cfg, feats: dict, lang_feat):
     """feats: {level: [B,H,W,mlp]}; returns fused [B,H,W,mlp].
 
@@ -451,5 +560,32 @@ def apply_fusion_stack(p, cfg, feats: dict, lang_feat):
     c = jnp.zeros_like(x0)
     h = jnp.zeros_like(x0)
     for lv in levels:
-        c, h = convlstm_step(p["convlstm"], cur[lv], c, h)
+        c, h = convlstm_step_opt(p["convlstm"], cur[lv], c, h)
     return h
+
+
+def _convlstm_dispatch(p, x, c, h):
+    if jax.devices()[0].platform == "tpu":
+        from cmpc_refseg_tpu.ops.pallas_kernels import convlstm_step_fused
+        return convlstm_step_fused(p, x, c, h)
+    return convlstm_step(p, x, c, h)
+
+
+@jax.custom_vjp
+def convlstm_step_opt(p, x, c, h):
+    """ConvLSTM step: fused pallas kernels on TPU (inference primal), plain
+    XLA elsewhere.  Under differentiation the XLA step runs and autodiff
+    reuses its intermediates (same pattern as mutan_fused)."""
+    return _convlstm_dispatch(p, x, c, h)
+
+
+def _convlstm_opt_fwd(p, x, c, h):
+    out, vjp = jax.vjp(convlstm_step, p, x, c, h)
+    return out, vjp
+
+
+def _convlstm_opt_bwd(vjp, g):
+    return vjp(g)
+
+
+convlstm_step_opt.defvjp(_convlstm_opt_fwd, _convlstm_opt_bwd)

@@ -259,3 +259,230 @@ def _mutan_bwd(num_heads, vjp, g):
 
 
 mutan_fused.defvjp(_mutan_fwd, _mutan_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused ConvLSTM step (util/cell.py:36-79 semantics; 1x1 kernel)
+# ---------------------------------------------------------------------------
+#
+# XLA runs one ConvLSTM step as ~10 HBM passes over [B,HW,C]-sized tensors
+# (gate matmul, 5 whole-sample layer norms as reduce+apply pairs, peepholes,
+# gating) — measured ~430 us/step at the reference geometry (bs=8, N=1600,
+# C=500, bf16).  The fused pipeline cuts that roughly in half:
+#
+#   kernel 1 "gates":  per (b, row-tile): x@Wx_g + h@Wh_g for the 4 gates
+#     (f32 accumulate, bf16 store), peepholes folded into i/f, and the
+#     layer-norm statistics (sum, sum-of-squares) of j/i/f accumulated in
+#     VMEM scratch across the row-tiles, emitted per sample (lane-replicated
+#     rows so no scalar VMEM addressing is needed).
+#   kernel 2 "raw":    per (b, row-tile): normalize j/i/f with kernel 1's
+#     statistics, new_c_raw = c*sigmoid(LN f + fb) + sigmoid(LN i)*tanh(LN j),
+#     o_raw = o + W_co*new_c_raw, accumulating THEIR statistics.
+#   finalize (XLA):    new_c = LN(new_c_raw); new_h = sigmoid(LN o_raw) *
+#     tanh(new_c) — a single fused elementwise pass.
+#
+# Training keeps the XLA step (cmpc.convlstm_step); the model dispatches to
+# this fused path for inference only (apply_fusion_stack train=False).
+
+_LN_EPS = 1e-12
+
+
+def _stats_rows(acc_ref, row, val_f32):
+    """Accumulate (sum, sumsq) into lane-replicated scratch rows."""
+    s = jnp.sum(val_f32)
+    ss = jnp.sum(val_f32 * val_f32)
+    acc_ref[2 * row:2 * row + 1, :] += jnp.full((1, 128), s, jnp.float32)
+    acc_ref[2 * row + 1:2 * row + 2, :] += jnp.full((1, 128), ss,
+                                                    jnp.float32)
+
+
+def _ln_from_stats(v, s_row, ss_row, gamma, beta, cnt):
+    """Whole-sample layer norm given lane-replicated (sum, sumsq) rows."""
+    s = jnp.sum(s_row) / 128.0
+    ss = jnp.sum(ss_row) / 128.0
+    m = s / cnt
+    var = jnp.maximum(ss / cnt - m * m, 0.0)
+    inv = jax.lax.rsqrt(var + _LN_EPS)
+    return (v.astype(jnp.float32) - m) * inv * gamma + beta
+
+
+def _convlstm_gates_call(x2, h2, c2, wx3, wh3, ci, cf, *, bsz, n, c,
+                         tiles, interpret=False):
+    """x2/h2/c2 [B*N, C]; wx3/wh3 [4, C, C]; ci/cf [N, C] ->
+    gates [4, B*N, C] (j, i+peep, f+peep, o), stats [B, 8, 128]."""
+    tm = n // tiles
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kern(x_ref, h_ref, c_ref, wx_ref, wh_ref, ci_ref, cf_ref,
+             g_ref, s_ref, acc_ref):
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        cc = c_ref[...]
+        for g in range(4):
+            y = (jnp.dot(x_ref[...], wx_ref[g],
+                         preferred_element_type=jnp.float32)
+                 + jnp.dot(h_ref[...], wh_ref[g],
+                           preferred_element_type=jnp.float32)
+                 ).astype(g_ref.dtype)
+            if g == 1:
+                y = y + ci_ref[...] * cc
+            elif g == 2:
+                y = y + cf_ref[...] * cc
+            g_ref[g] = y
+            if g < 3:
+                _stats_rows(acc_ref, g, y.astype(jnp.float32))
+
+        @pl.when(t == tiles - 1)
+        def _():
+            s_ref[0] = acc_ref[...]
+
+    return pl.pallas_call(
+        kern,
+        grid=(bsz, tiles),
+        in_specs=[
+            pl.BlockSpec((tm, c), lambda b, t: (b * tiles + t, 0)),
+            pl.BlockSpec((tm, c), lambda b, t: (b * tiles + t, 0)),
+            pl.BlockSpec((tm, c), lambda b, t: (b * tiles + t, 0)),
+            pl.BlockSpec((4, c, c), lambda b, t: (0, 0, 0)),
+            pl.BlockSpec((4, c, c), lambda b, t: (0, 0, 0)),
+            pl.BlockSpec((tm, c), lambda b, t: (t, 0)),
+            pl.BlockSpec((tm, c), lambda b, t: (t, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((4, tm, c), lambda b, t: (0, b * tiles + t, 0)),
+            pl.BlockSpec((1, 8, 128), lambda b, t: (b, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((4, bsz * n, c), x2.dtype),
+            jax.ShapeDtypeStruct((bsz, 8, 128), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((8, 128), jnp.float32)],
+        interpret=interpret,
+    )(x2, h2, c2, wx3, wh3, ci, cf)
+
+
+def _convlstm_raw_call(gates, c2, co, stats, gamma, beta, *, bsz, n, c,
+                       tiles, forget_bias, interpret=False):
+    """-> new_c_raw [B*N,C], o_raw [B*N,C], stats2 [B,8,128] (rows 0..3 =
+    sum/ss of new_c_raw, sum/ss of o_raw).  gamma/beta [8, C]: rows 0..4 =
+    j, i, f, o, c layer-norm parameters."""
+    tm = n // tiles
+    cnt = float(n * c)
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kern2(g_ref, c_ref, co_ref, s_ref, gm_ref, bt_ref,
+              nc_ref, or_ref, s2_ref, acc_ref):
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        def ln(v, row):
+            return _ln_from_stats(v, s_ref[0, 2 * row], s_ref[0, 2 * row + 1],
+                                  gm_ref[row], bt_ref[row], cnt)
+
+        jn = jnp.tanh(ln(g_ref[0], 0)).astype(nc_ref.dtype)
+        i_s = jax.nn.sigmoid(ln(g_ref[1], 1)).astype(nc_ref.dtype)
+        f_s = jax.nn.sigmoid(ln(g_ref[2], 2) + forget_bias
+                             ).astype(nc_ref.dtype)
+        new_c_raw = c_ref[...] * f_s + i_s * jn
+        o_raw = g_ref[3] + co_ref[...] * new_c_raw
+        nc_ref[...] = new_c_raw
+        or_ref[...] = o_raw
+        _stats_rows(acc_ref, 0, new_c_raw.astype(jnp.float32))
+        _stats_rows(acc_ref, 1, o_raw.astype(jnp.float32))
+
+        @pl.when(t == tiles - 1)
+        def _():
+            s2_ref[0] = acc_ref[...]
+
+    return pl.pallas_call(
+        kern2,
+        grid=(bsz, tiles),
+        in_specs=[
+            pl.BlockSpec((4, tm, c), lambda b, t: (0, b * tiles + t, 0)),
+            pl.BlockSpec((tm, c), lambda b, t: (b * tiles + t, 0)),
+            pl.BlockSpec((tm, c), lambda b, t: (t, 0)),
+            pl.BlockSpec((1, 8, 128), lambda b, t: (b, 0, 0)),
+            pl.BlockSpec((8, c), lambda b, t: (0, 0)),
+            pl.BlockSpec((8, c), lambda b, t: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((tm, c), lambda b, t: (b * tiles + t, 0)),
+            pl.BlockSpec((tm, c), lambda b, t: (b * tiles + t, 0)),
+            pl.BlockSpec((1, 8, 128), lambda b, t: (b, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz * n, c), gates.dtype),
+            jax.ShapeDtypeStruct((bsz * n, c), gates.dtype),
+            jax.ShapeDtypeStruct((bsz, 8, 128), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((8, 128), jnp.float32)],
+        interpret=interpret,
+    )(gates, c2, co, stats, gamma, beta)
+
+
+def convlstm_step_fused(p, x, c, h, *, forget_bias: float = 1.0,
+                        interpret: bool = False):
+    """Drop-in fused forward for cmpc.convlstm_step (inference path).
+
+    x/c/h [B,H,W,C]; p carries 'kernel' [1,1,2C,4C], 'W_ci/W_cf/W_co'
+    [H,W,C] and 'ln' (5 layer norms in j,i,f,o,c creation order).
+    """
+    bsz, hh, ww, cc = x.shape
+    n = hh * ww
+    dt = x.dtype
+    tiles = 1
+    for cand in (4, 2, 1):
+        if n % cand == 0 and (n // cand) % 8 == 0:
+            tiles = cand
+            break
+
+    x2 = x.reshape(bsz * n, cc)
+    h2 = h.reshape(bsz * n, cc)
+    c2 = c.reshape(bsz * n, cc)
+    w = p["kernel"][0, 0].astype(dt)                      # [2C, 4C]
+    wx3 = w[:cc].reshape(cc, 4, cc).transpose(1, 0, 2)
+    wh3 = w[cc:].reshape(cc, 4, cc).transpose(1, 0, 2)
+    ci = p["W_ci"].reshape(n, cc).astype(dt)
+    cf = p["W_cf"].reshape(n, cc).astype(dt)
+    co = p["W_co"].reshape(n, cc).astype(dt)
+    ln = p["ln"]
+    gamma = jnp.stack([ln[r]["gamma"].astype(jnp.float32) for r in range(5)]
+                      + [jnp.zeros((cc,), jnp.float32)] * 3)
+    beta = jnp.stack([ln[r]["beta"].astype(jnp.float32) for r in range(5)]
+                     + [jnp.zeros((cc,), jnp.float32)] * 3)
+
+    gates, stats = _convlstm_gates_call(x2, h2, c2, wx3, wh3, ci, cf,
+                                        bsz=bsz, n=n, c=cc, tiles=tiles,
+                                        interpret=interpret)
+    nc_raw, o_raw, stats2 = _convlstm_raw_call(
+        gates, c2, co, stats, gamma, beta, bsz=bsz, n=n, c=cc, tiles=tiles,
+        forget_bias=forget_bias, interpret=interpret)
+
+    # finalize (XLA, one fused pass): LN from stats2 + output gating
+    cnt = float(n * cc)
+    s = stats2[:, :, 0]                                  # [B, 8]
+    m_c = s[:, 0] / cnt
+    var_c = jnp.maximum(s[:, 1] / cnt - m_c * m_c, 0.0)
+    m_o = s[:, 2] / cnt
+    var_o = jnp.maximum(s[:, 3] / cnt - m_o * m_o, 0.0)
+
+    def ln_apply(v2, m, var, g_row, b_row):
+        inv = jax.lax.rsqrt(var + _LN_EPS)[:, None, None]
+        vf = v2.reshape(bsz, n, cc).astype(jnp.float32)
+        return (vf - m[:, None, None]) * inv * g_row + b_row
+
+    new_c = ln_apply(nc_raw, m_c, var_c, gamma[4], beta[4]).astype(dt)
+    o_n = jax.nn.sigmoid(ln_apply(o_raw, m_o, var_o, gamma[3], beta[3])
+                         ).astype(dt)
+    new_h = o_n * jnp.tanh(new_c)
+    return (new_c.reshape(bsz, hh, ww, cc),
+            new_h.reshape(bsz, hh, ww, cc))

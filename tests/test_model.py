@@ -223,3 +223,107 @@ class TestQuantizedBackbone:
             q, x, taps=("c5",), res4_blocks=2)["c5"])(pqs)
         rel = float(jnp.linalg.norm(ref - sta) / jnp.linalg.norm(ref))
         assert rel < 0.08, rel
+
+
+class TestBatchedFusionRounds:
+    """apply_fusion_rounds_batched must reproduce the reference-shaped
+    per-level loop exactly (same math, batched into stacked einsums)."""
+
+    def _loop_rounds(self, p, cfg, feats, lang_feat):
+        from cmpc_refseg_tpu.models.cmpc import apply_exchange
+        from cmpc_refseg_tpu.ops.normalization import l2_normalize
+        levels = list(cfg.levels)
+        cur = dict(feats)
+        for rnd in ("", "_2"):
+            nxt = {}
+            for lv in levels:
+                others = [cur[o] for o in levels if o != lv]
+                ex = apply_exchange(p["exchange"][f"{lv}{rnd}"], cfg,
+                                    cur[lv], others, lang_feat)
+                nxt[lv] = l2_normalize(ex, -1)
+            cur = nxt
+        return cur
+
+    @pytest.mark.parametrize("nlevels", [2, 3])
+    def test_matches_reference_loop(self, rng, nlevels):
+        import jax.numpy as jnp
+        from cmpc_refseg_tpu.models.cmpc import (apply_fusion_rounds_batched,
+                                                 init_fusion_stack)
+        cfg = get_config("CMPC_model", **TINY)
+        if nlevels == 2:
+            cfg = cfg.replace(levels=("c4", "c5"))
+        p = init_fusion_stack(jax.random.PRNGKey(0), cfg)
+        feats = {lv: jnp.asarray(
+            rng.standard_normal((2, cfg.vf_h, cfg.vf_w, cfg.mlp_dim)),
+            jnp.float32) for lv in cfg.levels}
+        lang = jnp.asarray(rng.standard_normal((2, 1, 1, cfg.rnn_size)),
+                           jnp.float32)
+        want = self._loop_rounds(p, cfg, feats, lang)
+        got = apply_fusion_rounds_batched(p, cfg, feats, lang)
+        for lv in cfg.levels:
+            np.testing.assert_allclose(np.asarray(got[lv]),
+                                       np.asarray(want[lv]),
+                                       rtol=2e-5, atol=2e-6)
+
+    def test_bf16_close(self, rng):
+        import jax.numpy as jnp
+        from cmpc_refseg_tpu.models.cmpc import (apply_fusion_rounds_batched,
+                                                 init_fusion_stack)
+        cfg = get_config("CMPC_model", **TINY)
+        p = init_fusion_stack(jax.random.PRNGKey(0), cfg)
+        feats = {lv: jnp.asarray(
+            rng.standard_normal((2, cfg.vf_h, cfg.vf_w, cfg.mlp_dim)),
+            jnp.bfloat16) for lv in cfg.levels}
+        lang = jnp.asarray(rng.standard_normal((2, 1, 1, cfg.rnn_size)),
+                           jnp.float32)
+        want = self._loop_rounds(p, cfg, feats, lang)
+        got = apply_fusion_rounds_batched(p, cfg, feats, lang)
+        for lv in cfg.levels:
+            np.testing.assert_allclose(
+                np.asarray(got[lv], np.float32),
+                np.asarray(want[lv], np.float32), rtol=0.05, atol=0.02)
+
+
+class TestSplitFusionConv:
+    """The split fusion 1x1 conv (no concat materialization) must equal the
+    reference-shaped concat->conv computation."""
+
+    @pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+    def test_matches_concat_conv(self, rng, dtype):
+        from cmpc_refseg_tpu.models.cmpc import (apply_lang2vis,
+                                                 apply_mutan, apply_spa_graph,
+                                                 init_lang2vis,
+                                                 valid_lang_feat)
+        from cmpc_refseg_tpu.ops.layers import conv2d
+        cfg = get_config("CMPC_model", **TINY)
+        p = init_lang2vis(jax.random.PRNGKey(0), cfg)
+        dt = jnp.float32 if dtype == "float32" else jnp.bfloat16
+        b, h, w = 2, cfg.vf_h, cfg.vf_w
+        vis = jnp.asarray(rng.standard_normal((b, h, w, cfg.v_emb_dim)),
+                          jnp.float32).astype(dt)
+        wf = jnp.asarray(rng.standard_normal((b, 1, cfg.num_steps,
+                                              cfg.rnn_size)), jnp.float32)
+        wp = jax.nn.softmax(jnp.asarray(
+            rng.standard_normal((b, 1, cfg.num_steps, 4)), jnp.float32), -1)
+        sm = jnp.ones((b, 1, cfg.num_steps, 1), jnp.float32)
+        sp = jnp.asarray(rng.standard_normal((b, h, w, cfg.spatial_dim)),
+                         jnp.float32)
+
+        got, _ = apply_lang2vis(p, cfg, vis, wf, wp, sm, sp)
+
+        # reference-shaped computation (CMPC_model.py:338-345)
+        valid = valid_lang_feat(wp, wf, (0, 1))
+        vis_la_sp = apply_mutan(p["mutan"], valid, sp, vis)
+        graph_feat, _ = apply_spa_graph(p["graph"], cfg, vis_la_sp, wf, wp,
+                                        sm)
+        lang_tiled = jnp.broadcast_to(
+            valid.astype(vis_la_sp.dtype), (b, h, w, valid.shape[-1]))
+        feat_all = jnp.concatenate(
+            [vis_la_sp, graph_feat, lang_tiled,
+             sp.astype(vis_la_sp.dtype)], axis=-1)
+        want = jax.nn.relu(conv2d(p["fusion"], feat_all))
+
+        tol = dict(rtol=2e-5, atol=2e-6) if dtype == "float32" \
+            else dict(rtol=0.05, atol=0.03)
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(want, np.float32), **tol)

@@ -60,3 +60,47 @@ def test_mutan_grad_flows(rng):
     dw = np.zeros_like(np.asarray(w)); dw[0, 0] = e
     num = (loss(w + dw) - loss(w - dw)) / (2 * e)
     np.testing.assert_allclose(float(g[0, 0]), float(num), rtol=2e-2)
+
+
+class TestFusedConvLSTM:
+    """convlstm_step_fused (interpret mode) must match the XLA step
+    (cmpc.convlstm_step) — same gate matmuls, peepholes and whole-sample
+    layer norms, computed via tiled kernels with (sum, sumsq) statistics."""
+
+    def test_matches_xla_step(self, rng):
+        from cmpc_refseg_tpu.config import get_config
+        from cmpc_refseg_tpu.models import cmpc
+        from cmpc_refseg_tpu.ops.pallas_kernels import convlstm_step_fused
+        cfg = get_config("CMPC_model", H=64, W=64, mlp_dim=32, rnn_size=16,
+                         v_emb_dim=16, vocab_size=30, glove_dim=8,
+                         num_steps=6, res4_blocks=2)
+        p = cmpc.init_convlstm(jax.random.PRNGKey(0), cfg)
+        B, H, W, C = 2, cfg.vf_h, cfg.vf_w, cfg.mlp_dim
+        x = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+        c = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+        h = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+        want_c, want_h = cmpc.convlstm_step(p, x, c, h)
+        got_c, got_h = convlstm_step_fused(p, x, c, h, interpret=True)
+        np.testing.assert_allclose(np.asarray(got_c), np.asarray(want_c),
+                                   rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(got_h), np.asarray(want_h),
+                                   rtol=2e-4, atol=2e-5)
+
+    def test_three_step_scan_parity(self, rng):
+        """Chained 3-step usage (the fusion stack's scan) stays close."""
+        from cmpc_refseg_tpu.config import get_config
+        from cmpc_refseg_tpu.models import cmpc
+        from cmpc_refseg_tpu.ops.pallas_kernels import convlstm_step_fused
+        cfg = get_config("CMPC_model", H=64, W=64, mlp_dim=32, rnn_size=16,
+                         v_emb_dim=16, vocab_size=30, glove_dim=8,
+                         num_steps=6, res4_blocks=2)
+        p = cmpc.init_convlstm(jax.random.PRNGKey(1), cfg)
+        B, H, W, C = 2, cfg.vf_h, cfg.vf_w, cfg.mlp_dim
+        xs = [jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+              for _ in range(3)]
+        cw = hw = cf_ = hf = jnp.zeros((B, H, W, C), jnp.float32)
+        for x in xs:
+            cw, hw = cmpc.convlstm_step(p, x, cw, hw)
+            cf_, hf = convlstm_step_fused(p, x, cf_, hf, interpret=True)
+        np.testing.assert_allclose(np.asarray(hf), np.asarray(hw),
+                                   rtol=1e-3, atol=1e-4)
