@@ -565,7 +565,11 @@ def apply_fusion_stack(p, cfg, feats: dict, lang_feat):
 
 
 def _convlstm_dispatch(p, x, c, h):
-    if jax.devices()[0].platform == "tpu":
+    # Fused kernels win at batched inference (bs=8: 3x standalone) but LOSE
+    # at small batch: the (b, tiles) grid degenerates and the video model's
+    # bs=1 path measured ~18% slower fused (104 -> 85 clips/s).  Gate on
+    # enough per-grid work.
+    if jax.devices()[0].platform == "tpu" and x.shape[0] >= 4:
         from cmpc_refseg_tpu.ops.pallas_kernels import convlstm_step_fused
         return convlstm_step_fused(p, x, c, h)
     return convlstm_step(p, x, c, h)

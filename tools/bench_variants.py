@@ -9,8 +9,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# repo root on sys.path (NOT via the PYTHONPATH env var, which breaks the
+# axon TPU plugin registration on this image)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def bench_variant(name: str, batch: int = 8, on_tpu: bool = True):
