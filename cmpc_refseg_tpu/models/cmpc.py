@@ -136,6 +136,28 @@ def init_spa_graph(key, cfg):
     return p
 
 
+@jax.custom_vjp
+def graph_conv_opt(gp, x_nodes, w_aff, v_aff):
+    """Graph conv: fused pallas kernels on TPU at batched inference
+    (message+stats / update+stats calls + one XLA finalize pass,
+    ops/pallas_kernels.py::graph_conv_fused), plain XLA elsewhere; under
+    differentiation the XLA path runs and autodiff reuses its
+    intermediates (mutan_fused pattern)."""
+    if jax.devices()[0].platform == "tpu" and x_nodes.shape[0] >= 4:
+        from cmpc_refseg_tpu.ops.pallas_kernels import graph_conv_fused
+        return graph_conv_fused(gp, x_nodes, w_aff, v_aff)
+    return _graph_conv(gp, x_nodes, w_aff, v_aff)
+
+
+def _graph_conv_opt_fwd(gp, x_nodes, w_aff, v_aff):
+    out, vjp = jax.vjp(_graph_conv, gp, x_nodes, w_aff, v_aff)
+    return out, vjp
+
+
+def _graph_conv_opt_bwd(vjp, g):
+    return vjp(g)
+
+
 def _graph_conv(gp, x_nodes, w_aff, v_aff):
     """One graph convolution (CMPC_model.py:359-374) WITHOUT materializing
     adj = w_aff @ v_aff^T: message = w_aff @ (v_aff^T @ x).
@@ -157,6 +179,9 @@ def _graph_conv(gp, x_nodes, w_aff, v_aff):
     y = tf1_layer_norm(y[:, None], gp["update_ln"]["gamma"],
                        gp["update_ln"]["beta"])[:, 0]
     return jax.nn.relu(y)
+
+
+graph_conv_opt.defvjp(_graph_conv_opt_fwd, _graph_conv_opt_bwd)
 
 
 def apply_spa_graph(params, cfg, spa_graph, words_feat, words_parse, seq_mask):
@@ -206,7 +231,7 @@ def apply_spa_graph(params, cfg, spa_graph, words_feat, words_parse, seq_mask):
 
     x = nodes_in
     for gp in params["gconv"]:
-        x = _graph_conv(gp, x, w_aff, v_aff)
+        x = graph_conv_opt(gp, x, w_aff, v_aff)
     out = l2_normalize(x.reshape(b, h, w, c), -1)
     return out, (w_aff, v_aff)
 

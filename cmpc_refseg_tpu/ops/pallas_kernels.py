@@ -486,3 +486,161 @@ def convlstm_step_fused(p, x, c, h, *, forget_bias: float = 1.0,
     new_h = o_n * jnp.tanh(new_c)
     return (new_c.reshape(bsz, hh, ww, cc),
             new_h.reshape(bsz, hh, ww, cc))
+
+
+# ---------------------------------------------------------------------------
+# Fused graph convolution (CMPC_model.py:359-374; factored adjacency)
+# ---------------------------------------------------------------------------
+#
+# XLA runs one graph conv as ~8 HBM passes over [B,HW,C]: the message
+# matmul, whole-sample layer norm (reduce+apply), residual+relu, the update
+# conv, a second layer norm, relu.  Two pallas calls (same shape as the
+# fused ConvLSTM) cut the passes roughly in half:
+#
+#   kernel 1 "message": per (b, row-tile): msg = w_aff @ pooled (the
+#     factored-adjacency message — `pooled` = v_aff^T x computed in XLA,
+#     it is [B,T,C] tiny), bf16 store + LN statistics.
+#   kernel 2 "update":  per (b, row-tile): y = relu(x + LN1(msg));
+#     z = y @ W + b, accumulating LN2 statistics.
+#   finalize (XLA):     relu(LN2(z)) — one fused elementwise pass.
+
+
+def _graph_msg_call(w_aff, pooled, *, bsz, n, c, t, tiles, interpret=False):
+    """w_aff [B*N, T] (x dtype), pooled [B, T, C] -> msg [B*N, C] +
+    stats [B, 8, 128] (rows 0,1 = sum, sumsq)."""
+    tm = n // tiles
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kern(w_ref, p_ref, m_ref, s_ref, acc_ref):
+        ti = pl.program_id(1)
+
+        @pl.when(ti == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        msg = jnp.dot(w_ref[...], p_ref[0],
+                      preferred_element_type=jnp.float32).astype(m_ref.dtype)
+        m_ref[...] = msg
+        _stats_rows(acc_ref, 0, msg.astype(jnp.float32))
+
+        @pl.when(ti == tiles - 1)
+        def _():
+            s_ref[0] = acc_ref[...]
+
+    return pl.pallas_call(
+        kern,
+        grid=(bsz, tiles),
+        in_specs=[
+            pl.BlockSpec((tm, t), lambda b, ti: (b * tiles + ti, 0)),
+            pl.BlockSpec((1, t, c), lambda b, ti: (b, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((tm, c), lambda b, ti: (b * tiles + ti, 0)),
+            pl.BlockSpec((1, 8, 128), lambda b, ti: (b, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz * n, c), pooled.dtype),
+            jax.ShapeDtypeStruct((bsz, 8, 128), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((8, 128), jnp.float32)],
+        interpret=interpret,
+    )(w_aff, pooled)
+
+
+def _graph_update_call(x2, msg, stats, w, b, g1, b1, *, bsz, n, c, tiles,
+                       interpret=False):
+    """x2/msg [B*N, C]; stats [B,8,128] (LN1); w [C, C]; b [1, C] bias;
+    g1/b1 [1, C] LN1 affine -> z [B*N, C] + stats2 [B, 8, 128]."""
+    tm = n // tiles
+    cnt = float(n * c)
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kern(x_ref, m_ref, s_ref, w_ref, b_ref, g_ref, be_ref,
+             z_ref, s2_ref, acc_ref):
+        ti = pl.program_id(1)
+
+        @pl.when(ti == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        mln = _ln_from_stats(m_ref[...], s_ref[0, 0], s_ref[0, 1],
+                             g_ref[0], be_ref[0], cnt).astype(x_ref.dtype)
+        y = jax.nn.relu(x_ref[...] + mln)
+        z = (jnp.dot(y, w_ref[...], preferred_element_type=jnp.float32)
+             ).astype(z_ref.dtype) + b_ref[0]
+        z_ref[...] = z
+        _stats_rows(acc_ref, 0, z.astype(jnp.float32))
+
+        @pl.when(ti == tiles - 1)
+        def _():
+            s2_ref[0] = acc_ref[...]
+
+    return pl.pallas_call(
+        kern,
+        grid=(bsz, tiles),
+        in_specs=[
+            pl.BlockSpec((tm, c), lambda bi, ti: (bi * tiles + ti, 0)),
+            pl.BlockSpec((tm, c), lambda bi, ti: (bi * tiles + ti, 0)),
+            pl.BlockSpec((1, 8, 128), lambda bi, ti: (bi, 0, 0)),
+            pl.BlockSpec((c, c), lambda bi, ti: (0, 0)),
+            pl.BlockSpec((1, c), lambda bi, ti: (0, 0)),
+            pl.BlockSpec((1, c), lambda bi, ti: (0, 0)),
+            pl.BlockSpec((1, c), lambda bi, ti: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((tm, c), lambda bi, ti: (bi * tiles + ti, 0)),
+            pl.BlockSpec((1, 8, 128), lambda bi, ti: (bi, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz * n, c), x2.dtype),
+            jax.ShapeDtypeStruct((bsz, 8, 128), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((8, 128), jnp.float32)],
+        interpret=interpret,
+    )(x2, msg, stats, w, b, g1, b1)
+
+
+def graph_conv_fused(gp, x_nodes, w_aff, v_aff, *, interpret=False):
+    """Fused forward for cmpc._graph_conv (inference path).
+
+    x_nodes [B,N,C]; w_aff/v_aff [B,N,T] (f32 affinities).  Matches the XLA
+    reference: msg = w_aff @ (v_aff^T @ x) -> LN -> relu(x+.) -> 1x1 conv
+    -> LN -> relu, with whole-sample layer norms.
+    """
+    bsz, n, c = x_nodes.shape
+    dt = x_nodes.dtype
+    t = w_aff.shape[-1]
+    tiles = 1
+    for cand in (4, 2, 1):
+        if n % cand == 0 and (n // cand) % 8 == 0:
+            tiles = cand
+            break
+
+    wa = w_aff.astype(dt)
+    va = v_aff.astype(dt)
+    pooled = jnp.einsum("bnt,bnc->btc", va, x_nodes,
+                        preferred_element_type=jnp.float32).astype(dt)
+    msg, stats1 = _graph_msg_call(
+        wa.reshape(bsz * n, t), pooled.reshape(bsz, t, c),
+        bsz=bsz, n=n, c=c, t=t, tiles=tiles, interpret=interpret)
+
+    w = gp["update"]["DW"][0, 0].astype(dt)
+    b = gp["update"]["biases"].reshape(1, c).astype(dt)
+    g1 = gp["feat_ln"]["gamma"].reshape(1, c).astype(jnp.float32)
+    b1 = gp["feat_ln"]["beta"].reshape(1, c).astype(jnp.float32)
+    z, stats2 = _graph_update_call(
+        x_nodes.reshape(bsz * n, c), msg, stats1, w, b, g1, b1,
+        bsz=bsz, n=n, c=c, tiles=tiles, interpret=interpret)
+
+    # finalize: relu(LN2(z)) in one fused XLA pass (stats rows are
+    # lane-replicated, so column 0 holds the full sums)
+    cnt = float(n * c)
+    s_sum = stats2[:, 0, 0]
+    s_ss = stats2[:, 1, 0]
+    m = s_sum / cnt
+    var = jnp.maximum(s_ss / cnt - m * m, 0.0)
+    inv = jax.lax.rsqrt(var + _LN_EPS)[:, None, None]
+    zf = z.reshape(bsz, n, c).astype(jnp.float32)
+    out = ((zf - m[:, None, None]) * inv * gp["update_ln"]["gamma"]
+           + gp["update_ln"]["beta"])
+    return jax.nn.relu(out).astype(dt)

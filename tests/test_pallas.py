@@ -104,3 +104,45 @@ class TestFusedConvLSTM:
             cf_, hf = convlstm_step_fused(p, x, cf_, hf, interpret=True)
         np.testing.assert_allclose(np.asarray(hf), np.asarray(hw),
                                    rtol=1e-3, atol=1e-4)
+
+
+class TestFusedGraphConv:
+    """graph_conv_fused (interpret mode) must match cmpc._graph_conv."""
+
+    def test_matches_xla_graph_conv(self, rng):
+        from cmpc_refseg_tpu.config import get_config
+        from cmpc_refseg_tpu.models import cmpc
+        from cmpc_refseg_tpu.ops.pallas_kernels import graph_conv_fused
+        cfg = get_config("CMPC_model", mlp_dim=32, rnn_size=16, v_emb_dim=32,
+                         vocab_size=30, glove_dim=8, num_steps=6,
+                         res4_blocks=2, H=64, W=64)
+        gp = cmpc.init_spa_graph(jax.random.PRNGKey(0), cfg)["gconv"][0]
+        B, N, C, T = 2, 64, cfg.v_emb_dim, cfg.num_steps
+        x = jnp.asarray(rng.standard_normal((B, N, C)), jnp.float32)
+        wa = jnp.asarray(np.abs(rng.standard_normal((B, N, T))), jnp.float32)
+        va = jnp.asarray(np.abs(rng.standard_normal((B, N, T))), jnp.float32)
+        want = cmpc._graph_conv(gp, x, wa, va)
+        got = graph_conv_fused(gp, x, wa, va, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-5)
+
+    def test_dispatch_grad_uses_xla_path(self, rng):
+        """graph_conv_opt under grad must run the XLA reference (and produce
+        finite gradients) regardless of platform."""
+        from cmpc_refseg_tpu.config import get_config
+        from cmpc_refseg_tpu.models import cmpc
+        cfg = get_config("CMPC_model", mlp_dim=32, rnn_size=16, v_emb_dim=32,
+                         vocab_size=30, glove_dim=8, num_steps=6,
+                         res4_blocks=2, H=64, W=64)
+        gp = cmpc.init_spa_graph(jax.random.PRNGKey(0), cfg)["gconv"][0]
+        B, N, C, T = 2, 64, cfg.v_emb_dim, cfg.num_steps
+        x = jnp.asarray(rng.standard_normal((B, N, C)), jnp.float32)
+        wa = jnp.asarray(np.abs(rng.standard_normal((B, N, T))), jnp.float32)
+        va = jnp.asarray(np.abs(rng.standard_normal((B, N, T))), jnp.float32)
+
+        def loss(gp_):
+            return jnp.sum(cmpc.graph_conv_opt(gp_, x, wa, va) ** 2)
+
+        g = jax.grad(loss)(gp)
+        tot = sum(float(jnp.abs(l).sum()) for l in jax.tree.leaves(g))
+        assert np.isfinite(tot) and tot > 0
