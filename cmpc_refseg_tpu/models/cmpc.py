@@ -143,7 +143,7 @@ def graph_conv_opt(gp, x_nodes, w_aff, v_aff):
     ops/pallas_kernels.py::graph_conv_fused), plain XLA elsewhere; under
     differentiation the XLA path runs and autodiff reuses its
     intermediates (mutan_fused pattern)."""
-    if jax.devices()[0].platform == "tpu" and x_nodes.shape[0] >= 4:
+    if _use_fused_kernels(x_nodes):
         from cmpc_refseg_tpu.ops.pallas_kernels import graph_conv_fused
         return graph_conv_fused(gp, x_nodes, w_aff, v_aff)
     return _graph_conv(gp, x_nodes, w_aff, v_aff)
@@ -589,12 +589,20 @@ def apply_fusion_stack(p, cfg, feats: dict, lang_feat):
     return h
 
 
+def _use_fused_kernels(x) -> bool:
+    """Fused pallas kernels run on TPU at batched inference only: they win
+    at bs>=4 (ConvLSTM 3x standalone) but degenerate at small batch (video
+    bs=1 measured ~18% slower), and under GSPMD on a multi-chip mesh custom
+    calls have no partitioning rule — set CMPC_DISABLE_FUSED=1 to force the
+    XLA paths (e.g. for sharded multi-chip inference)."""
+    import os
+    if os.environ.get("CMPC_DISABLE_FUSED"):
+        return False
+    return jax.devices()[0].platform == "tpu" and x.shape[0] >= 4
+
+
 def _convlstm_dispatch(p, x, c, h):
-    # Fused kernels win at batched inference (bs=8: 3x standalone) but LOSE
-    # at small batch: the (b, tiles) grid degenerates and the video model's
-    # bs=1 path measured ~18% slower fused (104 -> 85 clips/s).  Gate on
-    # enough per-grid work.
-    if jax.devices()[0].platform == "tpu" and x.shape[0] >= 4:
+    if _use_fused_kernels(x):
         from cmpc_refseg_tpu.ops.pallas_kernels import convlstm_step_fused
         return convlstm_step_fused(p, x, c, h)
     return convlstm_step(p, x, c, h)

@@ -236,7 +236,9 @@ def mutan_fused(x, w, b, lang, num_heads: int = 5):
     x [B,N,K], w [K,H*C], b [H*C], lang [B,H*C] -> [B,N,C] in x.dtype.
     Pallas on TPU; plain XLA elsewhere (or under vmap/interpreters).
     """
-    if jax.devices()[0].platform == "tpu":
+    import os
+    if (jax.devices()[0].platform == "tpu"
+            and not os.environ.get("CMPC_DISABLE_FUSED")):
         return _mutan_fused_fwd(x, w, b, lang, num_heads=num_heads)
     return _mutan_reference(x, w, b, lang, num_heads)
 
