@@ -361,6 +361,67 @@ def init_exchange(key, cfg, num_others: int):
     return p
 
 
+def _se_sum_xla(feat, others, gates, ws, bs):
+    """XLA reference for the fused SE sum: feat [B,N,C] + sum_i
+    relu(others_i @ ws_i + bs_i) * gates_i[:, None, :], l2-normalized per
+    row (the exchange epilogue at CMPC_model.py:245-259 + the l2norm the
+    fusion stack applies)."""
+    out = feat
+    for o, g, w, b in zip(others, gates, ws, bs):
+        t = jax.nn.relu(
+            jnp.einsum("bnc,cd->bnd", o.astype(feat.dtype),
+                       w.astype(feat.dtype),
+                       preferred_element_type=jnp.float32
+                       ).astype(feat.dtype) + b.astype(feat.dtype))
+        out = out + t * g.astype(feat.dtype)[:, None, :]
+    return l2_normalize(out, -1)
+
+
+@jax.custom_vjp
+def se_sum_opt(feat, others, gates, ws, bs):
+    """Gated-exchange SE sum + row l2norm: single fused pallas kernel on
+    TPU at batched inference (ops/pallas_kernels.py::se_sum_fused), plain
+    XLA elsewhere / under differentiation."""
+    if _use_fused_kernels(feat):
+        from cmpc_refseg_tpu.ops.pallas_kernels import se_sum_fused
+        return se_sum_fused(feat, list(others), list(gates), list(ws),
+                            list(bs))
+    return _se_sum_xla(feat, others, gates, ws, bs)
+
+
+def _se_sum_opt_fwd(feat, others, gates, ws, bs):
+    out, vjp = jax.vjp(_se_sum_xla, feat, others, gates, ws, bs)
+    return out, vjp
+
+
+def _se_sum_opt_bwd(vjp, g):
+    return vjp(g)
+
+
+se_sum_opt.defvjp(_se_sum_opt_fwd, _se_sum_opt_bwd)
+
+
+def exchange_step_normed(pex, cfg, feat, others, lang_feat):
+    """One gated-exchange module + the l2norm epilogue.  Standard layout
+    runs the fused SE-sum (the gv/gate computations are [B,1,1,C]-tiny and
+    stay XLA); the v6 self-gate layout keeps the module loop."""
+    if cfg.exchange_self_gate:
+        return l2_normalize(apply_exchange(pex, cfg, feat, others,
+                                           lang_feat), -1)
+    gv = _apply_gv(pex["gv"], cfg, feat, lang_feat)
+    gates = tuple(
+        jax.nn.sigmoid(conv2d(se["lang_feat"], gv)).reshape(
+            feat.shape[0], -1)
+        for se in pex["se"])
+    ws = tuple(se["trans_feat"]["DW"][0, 0] for se in pex["se"])
+    bs = tuple(se["trans_feat"]["biases"] for se in pex["se"])
+    b_, h_, w_, c_ = feat.shape
+    out = se_sum_opt(feat.reshape(b_, h_ * w_, c_),
+                     tuple(o.reshape(b_, h_ * w_, c_) for o in others),
+                     gates, ws, bs)
+    return out.reshape(b_, h_, w_, c_)
+
+
 def apply_exchange(p, cfg, feat, others, lang_feat):
     if cfg.exchange_self_gate:
         gv_self = _apply_gv(p["gv_self"], cfg, feat, lang_feat)
@@ -576,9 +637,8 @@ def apply_fusion_stack(p, cfg, feats: dict, lang_feat):
         nxt = {}
         for lv in levels:
             others = [cur[o] for o in levels if o != lv]
-            ex = apply_exchange(p["exchange"][f"{lv}{rnd}"], cfg,
-                                cur[lv], others, lang_feat)
-            nxt[lv] = l2_normalize(ex, -1)
+            nxt[lv] = exchange_step_normed(p["exchange"][f"{lv}{rnd}"], cfg,
+                                           cur[lv], others, lang_feat)
         cur = nxt
 
     x0 = cur[levels[0]]

@@ -646,3 +646,68 @@ def graph_conv_fused(gp, x_nodes, w_aff, v_aff, *, interpret=False):
     out = ((zf - m[:, None, None]) * inv * gp["update_ln"]["gamma"]
            + gp["update_ln"]["beta"])
     return jax.nn.relu(out).astype(dt)
+
+
+# ---------------------------------------------------------------------------
+# Fused gated-exchange SE sum (CMPC_model.py:245-259 + the l2norm epilogue)
+# ---------------------------------------------------------------------------
+#
+# One exchange step is feat + sum_i relu(other_i @ W_i + b_i) * gate_i,
+# l2-normalized PER ROW — row-local everywhere, so unlike the layer-norm
+# kernels above it needs no statistics phase: one pallas call per target
+# level fuses the SE convs, the gating, the residual sum and the row l2norm
+# (XLA runs it as ~6 HBM passes; the gates themselves are [B,C]-tiny and
+# stay in XLA).
+
+
+def se_sum_fused(feat, others, gates, ws, bs_, *, interpret=False):
+    """feat [B,N,C]; others: list of [B,N,C]; gates: list of [B,C]
+    (sigmoid already applied); ws: list of [C,C]; bs_: list of [C].
+    Returns l2norm(feat + sum_i relu(others_i @ ws_i + bs_i) * gates_i)."""
+    bsz, n, c = feat.shape
+    dt = feat.dtype
+    k = len(others)
+    tiles = 1
+    for cand in (4, 2, 1):
+        if n % cand == 0 and (n // cand) % 8 == 0:
+            tiles = cand
+            break
+    tm = n // tiles
+
+    f2 = feat.reshape(bsz * n, c)
+    o2 = [o.reshape(bsz * n, c).astype(dt) for o in others]
+    g2 = [g.reshape(bsz, 1, c).astype(dt) for g in gates]
+    w2 = [w.astype(dt) for w in ws]
+    b2 = [b.reshape(1, c).astype(dt) for b in bs_]
+
+    def kern(*refs):
+        f_ref = refs[0]
+        o_refs = refs[1:1 + k]
+        g_refs = refs[1 + k:1 + 2 * k]
+        w_refs = refs[1 + 2 * k:1 + 3 * k]
+        b_refs = refs[1 + 3 * k:1 + 4 * k]
+        out_ref = refs[-1]
+        acc = f_ref[...]
+        for i in range(k):
+            t = (jnp.dot(o_refs[i][...], w_refs[i][...],
+                         preferred_element_type=jnp.float32)
+                 ).astype(dt) + b_refs[i][0]
+            acc = acc + jax.nn.relu(t) * g_refs[i][0]
+        zf = acc.astype(jnp.float32)
+        sq = jnp.sum(zf * zf, axis=-1, keepdims=True)
+        out_ref[...] = (zf * jax.lax.rsqrt(jnp.maximum(sq, 1e-12))
+                        ).astype(out_ref.dtype)
+
+    row_spec = pl.BlockSpec((tm, c), lambda b, t: (b * tiles + t, 0))
+    out = pl.pallas_call(
+        kern,
+        grid=(bsz, tiles),
+        in_specs=([row_spec] + [row_spec] * k
+                  + [pl.BlockSpec((1, 1, c), lambda b, t: (b, 0, 0))] * k
+                  + [pl.BlockSpec((c, c), lambda b, t: (0, 0))] * k
+                  + [pl.BlockSpec((1, c), lambda b, t: (0, 0))] * k),
+        out_specs=row_spec,
+        out_shape=jax.ShapeDtypeStruct((bsz * n, c), dt),
+        interpret=interpret,
+    )(f2, *o2, *g2, *w2, *b2)
+    return out.reshape(bsz, n, c)

@@ -146,3 +146,64 @@ class TestFusedGraphConv:
         g = jax.grad(loss)(gp)
         tot = sum(float(jnp.abs(l).sum()) for l in jax.tree.leaves(g))
         assert np.isfinite(tot) and tot > 0
+
+
+class TestFusedSESum:
+    """se_sum_fused (interpret mode) must match the XLA SE-sum + row l2norm
+    (the standard-layout gated-exchange epilogue)."""
+
+    @pytest.mark.parametrize("k", [1, 2])
+    def test_matches_xla(self, rng, k):
+        from cmpc_refseg_tpu.models import cmpc
+        from cmpc_refseg_tpu.ops.pallas_kernels import se_sum_fused
+        B, N, C = 2, 64, 32
+        feat = jnp.asarray(rng.standard_normal((B, N, C)), jnp.float32)
+        others = [jnp.asarray(rng.standard_normal((B, N, C)), jnp.float32)
+                  for _ in range(k)]
+        gates = [jnp.asarray(rng.random((B, C)), jnp.float32)
+                 for _ in range(k)]
+        ws = [jnp.asarray(rng.standard_normal((C, C)) * 0.1, jnp.float32)
+              for _ in range(k)]
+        bs = [jnp.asarray(rng.standard_normal((C,)) * 0.1, jnp.float32)
+              for _ in range(k)]
+        want = cmpc._se_sum_xla(feat, others, gates, ws, bs)
+        got = se_sum_fused(feat, others, gates, ws, bs, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-6)
+
+    def test_exchange_step_normed_matches_module(self, rng):
+        """exchange_step_normed == l2norm(apply_exchange) for the standard
+        layout (the path the fusion stack now takes)."""
+        from cmpc_refseg_tpu.config import get_config
+        from cmpc_refseg_tpu.models import cmpc
+        cfg = get_config("CMPC_model", mlp_dim=32, rnn_size=16, v_emb_dim=32,
+                         vocab_size=30, glove_dim=8, num_steps=6,
+                         res4_blocks=2, H=64, W=64)
+        pex = cmpc.init_exchange(jax.random.PRNGKey(0), cfg, 2)
+        B, C = 2, cfg.mlp_dim
+        feat = jnp.asarray(rng.standard_normal((B, 8, 8, C)), jnp.float32)
+        others = [jnp.asarray(rng.standard_normal((B, 8, 8, C)), jnp.float32)
+                  for _ in range(2)]
+        lang = jnp.asarray(rng.standard_normal((B, 1, 1, cfg.rnn_size)),
+                           jnp.float32)
+        want = cmpc.l2_normalize(
+            cmpc.apply_exchange(pex, cfg, feat, others, lang), -1)
+        got = cmpc.exchange_step_normed(pex, cfg, feat, others, lang)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-6)
+
+    def test_grad_path(self, rng):
+        from cmpc_refseg_tpu.models import cmpc
+        B, N, C = 2, 16, 16
+        feat = jnp.asarray(rng.standard_normal((B, N, C)), jnp.float32)
+        others = (jnp.asarray(rng.standard_normal((B, N, C)), jnp.float32),)
+        gates = (jnp.asarray(rng.random((B, C)), jnp.float32),)
+        ws = (jnp.asarray(rng.standard_normal((C, C)) * 0.1, jnp.float32),)
+        bs = (jnp.asarray(rng.standard_normal((C,)) * 0.1, jnp.float32),)
+
+        def loss(w0):
+            return jnp.sum(cmpc.se_sum_opt(feat, others, gates, (w0,), bs))
+
+        g = jax.grad(loss)(ws[0])
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).sum()) > 0
