@@ -129,6 +129,11 @@ def run_train(args):
     cfg, emb_name = make_config(args)
     glove = load_glove(args.emb_dir, emb_name)
 
+    # Multi-host: every process draws the same epoch permutation and reads
+    # its own disjoint shard_index::shard_count stride — the assembled global
+    # batch (make_array_from_process_local_data) has distinct rows.
+    shard_kw = {"shard_index": jax.process_index(),
+                "shard_count": jax.process_count()}
     if args.dataset == "refvos":
         workers = args.num_workers or min(8, os.cpu_count() or 1)
         reader = RefVOSReader(
@@ -136,7 +141,7 @@ def run_train(args):
             metadata_path=args.meta, vocab_path=args.vocab,
             T=cfg.num_steps, input_h=cfg.H, input_w=cfg.W,
             prefetch_num=4 * max(workers, 1),
-            num_workers=workers)
+            num_workers=workers, **shard_kw)
     else:
         from cmpc_refseg_tpu.data.reader import NpzReader
 
@@ -152,7 +157,7 @@ def run_train(args):
         reader = _NpzCollator(NpzReader(
             os.path.join(args.data_folder, args.dataset, args.split
                          + "_batch"),
-            f"{args.dataset}_{args.split}"))
+            f"{args.dataset}_{args.split}", **shard_kw))
 
     n_dev = args.mesh_devices or len(jax.devices())
     mesh = make_mesh(n_dev) if n_dev > 1 else None

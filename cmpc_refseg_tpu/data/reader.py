@@ -33,10 +33,21 @@ class PrefetchReader:
 
     def __init__(self, num_samples: int, load_fn: Callable[[int], dict],
                  shuffle: bool = True, prefetch_num: int = 8, seed: int = 0,
-                 num_workers: int = 1):
+                 num_workers: int = 1, shard_index: int = 0,
+                 shard_count: int = 1):
+        """`shard_index`/`shard_count`: multi-host data sharding.  Every
+        process draws the SAME per-epoch permutation (same seed) and walks
+        only its `shard_index::shard_count` stride of it, so the processes
+        jointly cover each epoch exactly once with disjoint samples (the
+        per-process slice of SURVEY.md section 5.8's global batch)."""
+        if not (0 <= shard_index < shard_count):
+            raise ValueError(f"shard_index {shard_index} out of range for "
+                             f"shard_count {shard_count}")
         self.num_samples = num_samples
         self.load_fn = load_fn
         self.shuffle = shuffle
+        self.shard_index = shard_index
+        self.shard_count = shard_count
         self.n_batch = 0
         self.n_epoch = 0
         self._rng = np.random.default_rng(seed)
@@ -51,14 +62,19 @@ class PrefetchReader:
             for _ in range(num_workers):
                 threading.Thread(target=self._worker, daemon=True).start()
 
+    def _epoch_order(self) -> np.ndarray:
+        order = (self._rng.permutation(self.num_samples) if self.shuffle
+                 else np.arange(self.num_samples))
+        return order[self.shard_index::self.shard_count]
+
     def _feed_indices(self):
-        order = np.arange(self.num_samples)
+        order = self._epoch_order()
         pos = 0
         while True:
-            if pos == 0 and self.shuffle:
-                order = self._rng.permutation(self.num_samples)
             self._idx_queue.put(int(order[pos]), block=True)
-            pos = (pos + 1) % self.num_samples
+            pos = (pos + 1) % len(order)
+            if pos == 0:
+                order = self._epoch_order()
 
     def _worker(self):
         while True:
@@ -71,11 +87,9 @@ class PrefetchReader:
             self._queue.put(sample, block=True)
 
     def _run(self):
-        order = np.arange(self.num_samples)
+        order = self._epoch_order()
         pos = 0
         while True:
-            if pos == 0 and self.shuffle:
-                order = self._rng.permutation(self.num_samples)
             try:
                 sample = self.load_fn(int(order[pos]))
             except BaseException as e:  # propagate to the consumer —
@@ -83,14 +97,18 @@ class PrefetchReader:
                 self._queue.put(e, block=True)
                 return
             self._queue.put(sample, block=True)
-            pos = (pos + 1) % self.num_samples
+            pos = (pos + 1) % len(order)
+            if pos == 0:
+                order = self._epoch_order()
 
     def read(self) -> dict:
         sample = self._queue.get(block=True)
         if isinstance(sample, BaseException):
             raise RuntimeError(
                 f"prefetch worker failed: {sample!r}") from sample
-        self.n_batch = (self.n_batch + 1) % self.num_samples
+        local_n = len(range(self.shard_index, self.num_samples,
+                            self.shard_count))
+        self.n_batch = (self.n_batch + 1) % local_n
         self.n_epoch += (self.n_batch == 0)
         return sample
 
@@ -112,7 +130,8 @@ class NpzReader(PrefetchReader):
     '<folder>/<prefix>_<n>.npz')."""
 
     def __init__(self, data_folder: str, data_prefix: str, shuffle=True,
-                 prefetch_num: int = 8, seed: int = 0, id2name=None):
+                 prefetch_num: int = 8, seed: int = 0, id2name=None,
+                 shard_index: int = 0, shard_count: int = 1):
         """`id2name`: optional {str(sample_id): image_name} map attached to
         each sample as 'img_name' (reference util/data_reader_ignore.py:8-23,
         used by visualization drivers to name their dumps)."""
@@ -125,7 +144,8 @@ class NpzReader(PrefetchReader):
         if n == 0:
             raise RuntimeError(f"no batches found at {data_folder}/"
                                f"{data_prefix}_*.npz")
-        super().__init__(n, self._load, shuffle, prefetch_num, seed)
+        super().__init__(n, self._load, shuffle, prefetch_num, seed,
+                         shard_index=shard_index, shard_count=shard_count)
 
     def _path(self, i: int) -> str:
         return os.path.join(self.data_folder, f"{self.data_prefix}_{i}.npz")
@@ -157,11 +177,17 @@ class ProcessPrefetchReader:
     """
 
     def __init__(self, dataset_factory, num_samples: int, shuffle=True,
-                 num_workers: int = 4, prefetch_num: int = 32, seed: int = 0):
+                 num_workers: int = 4, prefetch_num: int = 32, seed: int = 0,
+                 shard_index: int = 0, shard_count: int = 1):
         import multiprocessing as mp
+        if not (0 <= shard_index < shard_count):
+            raise ValueError(f"shard_index {shard_index} out of range for "
+                             f"shard_count {shard_count}")
         ctx = mp.get_context("spawn")
         self.num_samples = num_samples
         self.shuffle = shuffle
+        self.shard_index = shard_index
+        self.shard_count = shard_count
         self.n_batch = 0
         self.n_epoch = 0
         self._rng = np.random.default_rng(seed)
@@ -176,20 +202,27 @@ class ProcessPrefetchReader:
             p.start()
         threading.Thread(target=self._feed, daemon=True).start()
 
+    def _epoch_order(self) -> np.ndarray:
+        order = (self._rng.permutation(self.num_samples) if self.shuffle
+                 else np.arange(self.num_samples))
+        return order[self.shard_index::self.shard_count]
+
     def _feed(self):
-        order = np.arange(self.num_samples)
+        order = self._epoch_order()
         pos = 0
         while True:
-            if pos == 0 and self.shuffle:
-                order = self._rng.permutation(self.num_samples)
             self._idx.put(int(order[pos]), block=True)
-            pos = (pos + 1) % self.num_samples
+            pos = (pos + 1) % len(order)
+            if pos == 0:
+                order = self._epoch_order()
 
     def read(self) -> dict:
         sample = self._out.get(block=True)
         if isinstance(sample, str) and sample.startswith("__error__"):
             raise RuntimeError(f"prefetch worker failed: {sample[9:]}")
-        self.n_batch = (self.n_batch + 1) % self.num_samples
+        local_n = len(range(self.shard_index, self.num_samples,
+                            self.shard_count))
+        self.n_batch = (self.n_batch + 1) % local_n
         self.n_epoch += (self.n_batch == 0)
         return sample
 

@@ -117,7 +117,8 @@ class RefVOSReader:
                  vocab_path: str, shuffle=True, prefetch_num: int = 8,
                  T: int = 20, input_h: int = 320, input_w: int = 320,
                  anchors: Optional[np.ndarray] = None, seed: int = 0,
-                 num_workers: int = 1):
+                 num_workers: int = 1, shard_index: int = 0,
+                 shard_count: int = 1):
         from functools import partial
 
         from cmpc_refseg_tpu.data.reader import (PrefetchReader,
@@ -131,10 +132,12 @@ class RefVOSReader:
             self._reader = ProcessPrefetchReader(
                 factory, self.num_batch, shuffle=shuffle,
                 num_workers=num_workers, prefetch_num=prefetch_num,
-                seed=seed)
+                seed=seed, shard_index=shard_index, shard_count=shard_count)
         else:
             self._reader = PrefetchReader(self.num_batch, self.dataset.load,
-                                          shuffle, prefetch_num, seed)
+                                          shuffle, prefetch_num, seed,
+                                          shard_index=shard_index,
+                                          shard_count=shard_count)
 
     def read_batch(self) -> dict:
         return self._reader.read()
@@ -153,7 +156,8 @@ class RefVOSBertReader:
     def __init__(self, im_dir: str, mask_dir: str, bert_dir: str,
                  metadata_path: str, shuffle=True, prefetch_num: int = 8,
                  T: int = 20, input_h: int = 320, input_w: int = 320,
-                 seed: int = 0, num_workers: int = 1):
+                 seed: int = 0, num_workers: int = 1, shard_index: int = 0,
+                 shard_count: int = 1):
         from cmpc_refseg_tpu.data.reader import PrefetchReader
         self.im_dir = im_dir
         self.mask_dir = mask_dir
@@ -165,7 +169,9 @@ class RefVOSBertReader:
         self.input_w = input_w
         self._reader = PrefetchReader(len(self.metadata), self._load,
                                       shuffle, prefetch_num, seed,
-                                      num_workers=num_workers)
+                                      num_workers=num_workers,
+                                      shard_index=shard_index,
+                                      shard_count=shard_count)
         self.num_batch = len(self.metadata)
 
     def _load(self, i: int) -> dict:

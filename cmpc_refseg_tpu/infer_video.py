@@ -97,17 +97,28 @@ def run_inference(cfg, params, model_state, *, meta_path: str, im_dir: str,
     def _area(x):
         return _jnp.sum(x.astype(_jnp.float32), axis=(1, 2, 3))
 
-    @jax.jit
-    def fwd(p, s, b):
-        out = apply_model(p, s, cfg, b)[0]
-        # Per-frame consistency score between the two aux heads
-        # (commented CMPCv5_model.py:146: iou_with_threshold(sigm(score_c4),
-        # sigm(score_c5), 0.2); test_v5+.py:302-303 flags score < 0.3).
-        a = jax.nn.sigmoid(out.up_levels[lv_lo]) > 0.2
-        c = jax.nn.sigmoid(out.up_levels[lv_hi]) > 0.2
-        inter = _area(a & c)
-        union = _area(a) + _area(c) - inter
-        return out.sigm, inter / union     # NaN when both heads are empty
+    # The consistency branch (two extra sigmoid+threshold passes over the
+    # full-resolution aux heads + reductions) is only traced into the jitted
+    # forward when the report is requested — the default path returns just
+    # out.sigm and pays nothing for the dormant feature.
+    if inconsistency_report:
+        @jax.jit
+        def fwd(p, s, b):
+            out = apply_model(p, s, cfg, b)[0]
+            # Per-frame consistency score between the two aux heads
+            # (commented CMPCv5_model.py:146: iou_with_threshold(
+            # sigm(score_c4), sigm(score_c5), 0.2); test_v5+.py:302-303
+            # flags score < 0.3).
+            a = jax.nn.sigmoid(out.up_levels[lv_lo]) > 0.2
+            c = jax.nn.sigmoid(out.up_levels[lv_hi]) > 0.2
+            inter = _area(a & c)
+            union = _area(a) + _area(c) - inter
+            return out.sigm, inter / union  # NaN when both heads are empty
+    else:
+        @jax.jit
+        def fwd(p, s, b):
+            out = apply_model(p, s, cfg, b)[0]
+            return out.sigm, _jnp.zeros((b["im"].shape[0],), _jnp.float32)
 
     inconsistent = []
     n_expr = 0

@@ -84,12 +84,15 @@ def apply_mutan(params, lang_feat, spatial_feat, visual_feat,
     [B,HW,5C] tanh intermediate never reaches HBM.  When the params carry a
     'pad' view (model.prepare_params, inference flows), the lane-aligned
     fast path is used — no in-jit padding at all."""
+    from cmpc_refseg_tpu.ops.fused_dispatch import fused_mode, shard_rows
     from cmpc_refseg_tpu.ops.pallas_kernels import (mutan_fused,
                                                     mutan_fused_padded)
     nh = num_heads
     b, h, w, c_vis = visual_feat.shape
     pad = params.get("pad")
-    if pad is not None:
+    mode = fused_mode(b)        # no batch gate: mutan wins at every batch
+    if pad is not None and mode is not None:
+        import functools
         kp = pad["w_wide"].shape[0]
         extra = kp - c_vis - spatial_feat.shape[-1]
         dt = visual_feat.dtype
@@ -98,10 +101,12 @@ def apply_mutan(params, lang_feat, spatial_feat, visual_feat,
              jnp.zeros((b, h, w, extra), dt)], axis=-1)      # aligned [.,Kp]
         lang = jnp.tanh(conv2d({"DW": pad["lang_dw"],
                                 "biases": pad["lang_b"]}, lang_feat))
-        out = mutan_fused_padded(vis_in.reshape(b, h * w, kp),
-                                 pad["w_wide"], pad["b_pad"],
-                                 lang.reshape(b, -1),
-                                 num_heads=nh, c=c_vis)
+        fn = shard_rows(
+            functools.partial(mutan_fused_padded, num_heads=nh, c=c_vis,
+                              interpret=mode),
+            in_batched=(True, False, False, True), out_batched=True)
+        out = fn(vis_in.reshape(b, h * w, kp), pad["w_wide"], pad["b_pad"],
+                 lang.reshape(b, -1))
         return out.reshape(b, h, w, c_vis)
     vis_in = jnp.concatenate(
         [visual_feat, spatial_feat.astype(visual_feat.dtype)], axis=-1)
@@ -142,10 +147,17 @@ def graph_conv_opt(gp, x_nodes, w_aff, v_aff):
     (message+stats / update+stats calls + one XLA finalize pass,
     ops/pallas_kernels.py::graph_conv_fused), plain XLA elsewhere; under
     differentiation the XLA path runs and autodiff reuses its
-    intermediates (mutan_fused pattern)."""
-    if _use_fused_kernels(x_nodes):
+    intermediates (mutan_fused pattern).  On a declared data-parallel mesh
+    the kernel runs under shard_map over the data axis (batch-row-local)."""
+    mode = _fused_mode(x_nodes)
+    if mode is not None:
+        import functools
+        from cmpc_refseg_tpu.ops.fused_dispatch import shard_rows
         from cmpc_refseg_tpu.ops.pallas_kernels import graph_conv_fused
-        return graph_conv_fused(gp, x_nodes, w_aff, v_aff)
+        fn = shard_rows(functools.partial(graph_conv_fused, interpret=mode),
+                        in_batched=(False, True, True, True),
+                        out_batched=True)
+        return fn(gp, x_nodes, w_aff, v_aff)
     return _graph_conv(gp, x_nodes, w_aff, v_aff)
 
 
@@ -279,20 +291,22 @@ def apply_lang2vis(params, cfg, visual_feat, words_feat, words_parse,
     # sum: vis@Wv + graph@Wg + lang@Wl (computed once per sample, [B,1,1,d],
     # broadcast) + spatial@Ws (broadcast over its own leading dims) + bias.
     # Gradients flow through the slices into the canonical fused DW.
+    # The partial products accumulate in f32 and are summed (+bias) in f32
+    # with ONE down-cast at the end — matching the concat conv's numerics,
+    # where the whole row reduction ran in f32 before a single cast.
     dt = vis_la_sp.dtype
     C = vis_la_sp.shape[-1]
     Cl = valid.shape[-1]
     W = params["fusion"]["DW"][0, 0]                  # [2C+Cl+S, mlp]
-    pref = jnp.float32 if dt == jnp.float32 else None
 
     def term(x, rows):
         return jnp.einsum("...c,cd->...d", x.astype(dt), rows.astype(dt),
-                          preferred_element_type=pref).astype(dt)
+                          preferred_element_type=jnp.float32)
 
     y = (term(vis_la_sp, W[:C]) + term(graph_feat, W[C:2 * C])
          + term(valid, W[2 * C:2 * C + Cl]) + term(spatial, W[2 * C + Cl:])
-         + params["fusion"]["biases"].astype(dt))
-    return jax.nn.relu(y), gw
+         + params["fusion"]["biases"].astype(jnp.float32))
+    return jax.nn.relu(y).astype(dt), gw
 
 
 # ---------------------------------------------------------------------------
@@ -381,11 +395,22 @@ def _se_sum_xla(feat, others, gates, ws, bs):
 def se_sum_opt(feat, others, gates, ws, bs):
     """Gated-exchange SE sum + row l2norm: single fused pallas kernel on
     TPU at batched inference (ops/pallas_kernels.py::se_sum_fused), plain
-    XLA elsewhere / under differentiation."""
-    if _use_fused_kernels(feat):
+    XLA elsewhere / under differentiation.  Data-parallel meshes run it
+    under shard_map (row-local: feat/others/gates shard by batch, ws/bs
+    replicate)."""
+    mode = _fused_mode(feat)
+    if mode is not None:
+        from cmpc_refseg_tpu.ops.fused_dispatch import shard_rows
         from cmpc_refseg_tpu.ops.pallas_kernels import se_sum_fused
-        return se_sum_fused(feat, list(others), list(gates), list(ws),
-                            list(bs))
+
+        def fn(f, o, g, w_, b_):
+            return se_sum_fused(f, list(o), list(g), list(w_), list(b_),
+                                interpret=mode)
+
+        return shard_rows(fn, in_batched=(True, True, True, False, False),
+                          out_batched=True)(feat, tuple(others),
+                                            tuple(gates), tuple(ws),
+                                            tuple(bs))
     return _se_sum_xla(feat, others, gates, ws, bs)
 
 
@@ -649,22 +674,28 @@ def apply_fusion_stack(p, cfg, feats: dict, lang_feat):
     return h
 
 
-def _use_fused_kernels(x) -> bool:
-    """Fused pallas kernels run on TPU at batched inference only: they win
-    at bs>=4 (ConvLSTM 3x standalone) but degenerate at small batch (video
-    bs=1 measured ~18% slower), and under GSPMD on a multi-chip mesh custom
-    calls have no partitioning rule — set CMPC_DISABLE_FUSED=1 to force the
-    XLA paths (e.g. for sharded multi-chip inference)."""
-    import os
-    if os.environ.get("CMPC_DISABLE_FUSED"):
-        return False
-    return jax.devices()[0].platform == "tpu" and x.shape[0] >= 4
+def _fused_mode(x, min_batch: int = 4):
+    """Fused-kernel dispatch decision for the ConvLSTM/graph/SE-sum call
+    sites (None = XLA; False = compiled Pallas; True = interpret).  The
+    batch >= 4 gate is measured (ConvLSTM 3x standalone at bs=8; video bs=1
+    ~18% slower fused).  Multi-chip meshes are handled by shard_map over the
+    data axis (ops/fused_dispatch.py) when the driver declares one via
+    parallel.mesh.data_parallel_dispatch; CMPC_FUSED=off/interpret are the
+    debug overrides."""
+    from cmpc_refseg_tpu.ops.fused_dispatch import fused_mode
+    return fused_mode(x.shape[0], min_batch=min_batch)
 
 
 def _convlstm_dispatch(p, x, c, h):
-    if _use_fused_kernels(x):
+    mode = _fused_mode(x)
+    if mode is not None:
+        import functools
+        from cmpc_refseg_tpu.ops.fused_dispatch import shard_rows
         from cmpc_refseg_tpu.ops.pallas_kernels import convlstm_step_fused
-        return convlstm_step_fused(p, x, c, h)
+        fn = shard_rows(
+            functools.partial(convlstm_step_fused, interpret=mode),
+            in_batched=(False, True, True, True), out_batched=(True, True))
+        return fn(p, x, c, h)
     return convlstm_step(p, x, c, h)
 
 

@@ -234,12 +234,18 @@ def mutan_fused(x, w, b, lang, num_heads: int = 5):
     """Fused mutan head: l2norm(tanh(sum_h tanh(x@W_h+b_h)*lang_h)).
 
     x [B,N,K], w [K,H*C], b [H*C], lang [B,H*C] -> [B,N,C] in x.dtype.
-    Pallas on TPU; plain XLA elsewhere (or under vmap/interpreters).
+    Pallas on TPU; plain XLA elsewhere (or under vmap/interpreters).  On a
+    declared data-parallel mesh (parallel.mesh.data_parallel_dispatch) the
+    kernel is wrapped in shard_map over the data axis — batch-row-local.
     """
-    import os
-    if (jax.devices()[0].platform == "tpu"
-            and not os.environ.get("CMPC_DISABLE_FUSED")):
-        return _mutan_fused_fwd(x, w, b, lang, num_heads=num_heads)
+    from cmpc_refseg_tpu.ops.fused_dispatch import fused_mode, shard_rows
+    mode = fused_mode(x.shape[0])   # no batch gate: wins at every batch
+    if mode is not None:
+        fn = shard_rows(
+            functools.partial(_mutan_fused_fwd, num_heads=num_heads,
+                              interpret=mode),
+            in_batched=(True, False, False, True), out_batched=True)
+        return fn(x, w, b, lang)
     return _mutan_reference(x, w, b, lang, num_heads)
 
 

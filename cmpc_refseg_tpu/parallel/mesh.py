@@ -11,11 +11,45 @@ collectives in the train path.
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 from typing import Optional, Sequence
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# Active data-parallel mesh context: set by multi-chip drivers so that
+# batch-row-local fused Pallas kernels can wrap themselves in
+# jax.shard_map over the data axis (the custom calls carry no GSPMD
+# partitioning rule; shard_map gives them one for free because every
+# kernel is per-sample).  See ops/fused_dispatch.py.
+_DATA_MESH: contextvars.ContextVar = contextvars.ContextVar(
+    "cmpc_data_mesh", default=None)
+
+
+@contextlib.contextmanager
+def data_parallel_dispatch(mesh: Optional[Mesh], axis: str = "data"):
+    """Declare `mesh` as the active data-parallel mesh for fused-kernel
+    dispatch.  Enter this around jit TRACING of multi-chip inference flows
+    (evaluate_sharded, dryrun_multichip); single-chip flows need nothing.
+    mesh=None is a no-op passthrough (callers can pass their maybe-None
+    mesh unconditionally)."""
+    if mesh is None:
+        yield
+        return
+    if axis not in mesh.axis_names:
+        raise ValueError(f"mesh has no {axis!r} axis: {mesh.axis_names}")
+    token = _DATA_MESH.set((mesh, axis))
+    try:
+        yield
+    finally:
+        _DATA_MESH.reset(token)
+
+
+def active_data_mesh():
+    """(mesh, axis) of the active data-parallel dispatch context, or None."""
+    return _DATA_MESH.get()
 
 
 def initialize_distributed(coordinator_address: Optional[str] = None,

@@ -40,8 +40,11 @@ def native_prediction(up: np.ndarray, oh: int, ow: int) -> np.ndarray:
 
 
 def make_eval_step(cfg: ModelConfig):
+    from cmpc_refseg_tpu.train.trainer import device_image_prologue
+
     @partial(jax.jit, static_argnames=())
     def eval_step(params, model_state, batch):
+        batch = device_image_prologue(batch)
         outputs, _ = apply_model(params, model_state, cfg, batch, train=False)
         return outputs.up, outputs.sigm
     return eval_step
@@ -122,13 +125,23 @@ def make_sharded_eval_step(cfg: ModelConfig):
     GSPMD inserts the ICI all-reduce for the sums.  Evaluation here is at
     model resolution (H, W) against 'target' — the fixed-shape fast path;
     the native-resolution protocol above remains the parity path.
+
+    Fast-path vs parity divergence (measured, pinned by
+    tests/test_eval_protocol.py::TestShardedEvalDelta): on boundary-heavy
+    synthetic masks with an untrained model the model-res numbers track the
+    native dilating protocol to ~0.02 IoU (bound asserted at 0.08) — safe
+    for RELATIVE model selection during training; use `evaluate` for any
+    reported/parity number.
     """
     import jax.numpy as jnp
 
     thresholds = (0.5, 0.6, 0.7, 0.8, 0.9)
 
+    from cmpc_refseg_tpu.train.trainer import device_image_prologue
+
     @jax.jit
     def eval_step(params, model_state, batch):
+        batch = device_image_prologue(batch)
         outputs, _ = apply_model(params, model_state, cfg, batch, train=False)
         pred = outputs.up[..., 0] >= SCORE_THRESHOLD       # [B,H,W]
         target = batch["target"][..., 0] > 0.5
@@ -143,8 +156,12 @@ def make_sharded_eval_step(cfg: ModelConfig):
 def evaluate_sharded(cfg: ModelConfig, params, model_state, batch_iter, *,
                      mesh=None, max_batches: Optional[int] = None) -> dict:
     """Run the sharded eval loop; batch_iter yields global batches with
-    'target' [B,H,W,1].  With a mesh, inputs are sharded over 'data'."""
-    from cmpc_refseg_tpu.parallel.mesh import shard_batch
+    'target' [B,H,W,1].  With a mesh, inputs are sharded over 'data' AND the
+    fused Pallas kernels stay engaged — data_parallel_dispatch makes them
+    shard_map over the data axis (they are batch-row-local), so multi-chip
+    inference runs at fused-kernel speed instead of falling back to XLA."""
+    from cmpc_refseg_tpu.parallel.mesh import (data_parallel_dispatch,
+                                               shard_batch)
 
     eval_step = make_sharded_eval_step(cfg)
     tot_i = tot_u = tot_iou = 0.0
@@ -156,7 +173,8 @@ def evaluate_sharded(cfg: ModelConfig, params, model_state, batch_iter, *,
         bsz = batch["im"].shape[0]
         if mesh is not None:
             batch = shard_batch(batch, mesh)
-        i, u, iou, prec = eval_step(params, model_state, batch)
+        with data_parallel_dispatch(mesh):
+            i, u, iou, prec = eval_step(params, model_state, batch)
         tot_i += float(i)
         tot_u += float(u)
         tot_iou += float(iou)

@@ -102,3 +102,74 @@ class TestVideoOutputProtocol:
         # ours only keeps pixels whose interpolated mask value reached 1.0
         frac = resize_and_crop((sigm >= thr).astype(np.float32), oh, ow)
         np.testing.assert_array_equal(ours > 0, frac >= 1.0)
+
+
+class TestShardedEvalDelta:
+    """Quantifies the divergence between the sharded fast path (model-res
+    IoU, evaluator.py::make_sharded_eval_step) and the reference parity
+    protocol (native-res dilating semantics, evaluator.py::native_prediction)
+    on boundary-heavy synthetic masks — so it is KNOWN when the fast path is
+    safe for in-training model selection (VERDICT round-2 #7)."""
+
+    def test_delta_bounded_on_boundary_heavy_masks(self):
+        import jax
+        from cmpc_refseg_tpu.config import get_config
+        from cmpc_refseg_tpu.data.image import IMAGE_MEAN_BGR, resize_and_pad
+        from cmpc_refseg_tpu.models.model import init_model
+        from cmpc_refseg_tpu.train.evaluator import (evaluate,
+                                                     evaluate_sharded)
+
+        cfg = get_config("CMPC_model", H=32, W=32, num_steps=6,
+                         vocab_size=30, glove_dim=8, rnn_size=16,
+                         v_emb_dim=16, mlp_dim=12, res4_blocks=2,
+                         batch_size=4)
+        params, mstate = init_model(jax.random.PRNGKey(0), cfg)
+        rng = np.random.default_rng(3)
+
+        samples, fast_batches = [], []
+        group_im, group_tgt, group_words, group_seq = [], [], [], []
+        for i in range(8):
+            oh, ow = 45 + 3 * i, 37 + 2 * i
+            native_im = rng.integers(0, 256, (oh, ow, 3)).astype(np.uint8)
+            yy, xx = np.mgrid[:oh, :ow]
+            blob = ((yy - oh / 2) ** 2 + (xx - ow / 3) ** 2) < (oh / 3) ** 2
+            fringe = ((yy + xx) % 2).astype(bool)
+            mask = (blob ^ (fringe & (xx > ow // 2))).astype(np.float32)
+            im = resize_and_pad(native_im.astype(np.float32), 32, 32)
+            im = im[..., ::-1] - IMAGE_MEAN_BGR
+            tgt_model = (resize_and_pad(mask, 32, 32) > 0
+                         ).astype(np.float32)[..., None]
+            words = np.zeros((6,), np.int32)
+            words[:3] = rng.integers(3, 30, 3)
+            samples.append({
+                "im": im[None].astype(np.float32),
+                "words": words[None],
+                "seq_len": np.asarray([3], np.int32),
+                "orig_size": (oh, ow),
+                "target_native": mask > 0,
+            })
+            group_im.append(im.astype(np.float32))
+            group_tgt.append(tgt_model)
+            group_words.append(words)
+            group_seq.append(3)
+        for s in range(0, 8, 4):
+            fast_batches.append({
+                "im": np.stack(group_im[s:s + 4]),
+                "words": np.stack(group_words[s:s + 4]),
+                "seq_len": np.asarray(group_seq[s:s + 4], np.int32),
+                "target": np.stack(group_tgt[s:s + 4]),
+            })
+
+        parity = evaluate(cfg, params, mstate, iter(samples),
+                          batch_size=4)["no_crf"]
+        fast = evaluate_sharded(cfg, params, mstate, iter(fast_batches))
+        assert parity["n"] == fast["n"] == 8
+        # Documented bound: on boundary-heavy masks at this tiny geometry
+        # the model-res fast path tracks the native dilating protocol to
+        # within 0.08 IoU (the dilation systematically FAVORS the parity
+        # number for coarse predictions).  Use the fast path for relative
+        # model selection; use `evaluate` for reported numbers.
+        assert abs(parity["overall_iou"] - fast["overall_iou"]) < 0.08, (
+            parity["overall_iou"], fast["overall_iou"])
+        assert abs(parity["mean_iou"] - fast["mean_iou"]) < 0.08, (
+            parity["mean_iou"], fast["mean_iou"])

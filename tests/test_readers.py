@@ -133,3 +133,40 @@ def test_process_prefetch_reader(tmp_path):
         assert batch["mask_batch"].any()
     finally:
         r.close()
+
+
+def test_reader_process_sharding_disjoint_and_covering():
+    """Multi-host data sharding (ADVICE round 2): readers with the same seed
+    but different shard_index draw DISJOINT strides of one shared epoch
+    permutation, jointly covering every sample exactly once per epoch."""
+    from cmpc_refseg_tpu.data.reader import PrefetchReader
+
+    n, shards = 12, 3
+
+    def make(idx):
+        return PrefetchReader(n, lambda i: {"i": np.asarray(i)},
+                              shuffle=True, seed=7, shard_index=idx,
+                              shard_count=shards)
+
+    seen = []
+    for s in range(shards):
+        r = make(s)
+        seen.append({int(r.read()["i"]) for _ in range(n // shards)})
+    assert set().union(*seen) == set(range(n))
+    for a in range(shards):
+        for b in range(a + 1, shards):
+            assert not (seen[a] & seen[b]), (a, b, seen)
+
+
+def test_reader_sharding_epoch_reshuffles():
+    from cmpc_refseg_tpu.data.reader import PrefetchReader
+
+    n = 8
+    r = PrefetchReader(n, lambda i: {"i": np.asarray(i)}, shuffle=True,
+                       seed=3, shard_index=0, shard_count=2)
+    ep1 = [int(r.read()["i"]) for _ in range(n // 2)]
+    ep2 = [int(r.read()["i"]) for _ in range(n // 2)]
+    # each epoch's shard is half the permutation; across epochs the
+    # permutation changes (overwhelmingly likely for n=8)
+    assert len(set(ep1)) == n // 2 and len(set(ep2)) == n // 2
+    assert r.n_epoch >= 1

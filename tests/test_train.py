@@ -367,3 +367,55 @@ class TestMultiHostInput:
         with mock.patch.object(jax, "process_count", return_value=2):
             with pytest.raises(ValueError, match="not divisible"):
                 train_loop(cfg, reader=None, max_iter=1)
+
+
+def test_u8_batch_prologue_parity(rng):
+    """prepare_image_batch_u8 + device_image_prologue must be bit-identical
+    to the host-side prepare_image_batch (uint8->f32 is exact; flip and
+    mean-subtract run in the same order, on device)."""
+    from cmpc_refseg_tpu.config import get_config
+    from cmpc_refseg_tpu.train.trainer import (device_image_prologue,
+                                               prepare_image_batch,
+                                               prepare_image_batch_u8)
+    cfg = get_config("CMPC_model", H=32, W=32, num_steps=6, vocab_size=30,
+                     glove_dim=8, rnn_size=16, v_emb_dim=16, mlp_dim=12,
+                     res4_blocks=2)
+    collated = {
+        "im_batch": rng.integers(0, 256, (2, 32, 32, 3)).astype(np.uint8),
+        "mask_batch": rng.random((2, 32, 32)) > 0.5,
+        "text_batch": rng.integers(0, 30, (2, 6)).astype(np.int32),
+        "seq_length": np.asarray([3, 4], np.int64),
+    }
+    want = prepare_image_batch(collated, cfg)
+    compact = prepare_image_batch_u8(collated)
+    assert compact["im_u8"].dtype == np.uint8
+    assert compact["target_u8"].dtype == np.uint8
+    got = jax.jit(device_image_prologue)(compact)
+    np.testing.assert_array_equal(np.asarray(got["im"]), want["im"])
+    np.testing.assert_array_equal(np.asarray(got["target"]), want["target"])
+    np.testing.assert_array_equal(np.asarray(got["words"]), want["words"])
+    np.testing.assert_array_equal(np.asarray(got["seq_len"]),
+                                  want["seq_len"])
+
+
+def test_train_step_accepts_u8_batch(rng):
+    """The jitted train step runs directly on the compact uint8 batch."""
+    from cmpc_refseg_tpu.config import get_config
+    from cmpc_refseg_tpu.train.trainer import (create_train_state,
+                                               make_train_step,
+                                               prepare_image_batch_u8)
+    cfg = get_config("CMPC_model", H=32, W=32, num_steps=6, vocab_size=30,
+                     glove_dim=8, rnn_size=16, v_emb_dim=16, mlp_dim=12,
+                     res4_blocks=2, batch_size=2)
+    state = create_train_state(jax.random.PRNGKey(0), cfg)
+    step = make_train_step(cfg)
+    collated = {
+        "im_batch": rng.integers(0, 256, (2, 32, 32, 3)).astype(np.uint8),
+        "mask_batch": rng.random((2, 32, 32)) > 0.5,
+        "text_batch": np.concatenate(
+            [rng.integers(3, 30, (2, 3)), np.zeros((2, 3))],
+            axis=1).astype(np.int32),
+        "seq_length": np.asarray([3, 3], np.int64),
+    }
+    state, metrics = step(state, prepare_image_batch_u8(collated))
+    assert np.isfinite(float(metrics["loss_cls_all"]))

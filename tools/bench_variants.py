@@ -107,6 +107,15 @@ def main():
     ap.add_argument("--out", default=None)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--video-batch", type=int, default=1)
+    ap.add_argument("--latency", action="store_true",
+                    help="bs=1 latency mode (the reference's actual "
+                         "operating regime, trainval_model.py:349 / "
+                         "test.py:286-296): reports ms/mask per variant")
+    ap.add_argument("--modes", default="auto",
+                    help="comma list of CMPC_FUSED dispatch modes to A/B "
+                         "per variant (auto,on,off); best is recorded")
+    ap.add_argument("--only", default=None,
+                    help="comma list of variant names (default: all)")
     args = ap.parse_args()
 
     import jax
@@ -115,15 +124,35 @@ def main():
     from cmpc_refseg_tpu.utils.compile_cache import enable
     enable()
     on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    modes = args.modes.split(",")
+    names = args.only.split(",") if args.only else list(VARIANTS)
 
     results = {}
-    for name in VARIANTS:
-        batch = args.video_batch if get_config(name).video else args.batch
+    for name in names:
+        if args.latency:
+            batch = 1
+        else:
+            batch = (args.video_batch if get_config(name).video
+                     else args.batch)
         try:
-            results[name] = bench_variant(name, batch, on_tpu)
-            r = results[name]
+            per_mode = {}
+            for mode in modes:
+                os.environ["CMPC_FUSED"] = mode
+                per_mode[mode] = bench_variant(name, batch, on_tpu)
+            os.environ.pop("CMPC_FUSED", None)
+            best_mode = min(per_mode, key=lambda m:
+                            per_mode[m]["ms_per_batch"])
+            r = dict(per_mode[best_mode])
+            if len(modes) > 1:
+                r["dispatch"] = best_mode
+                r["per_mode_ms"] = {m: per_mode[m]["ms_per_batch"]
+                                    for m in per_mode}
+            if args.latency:
+                r["ms_per_item"] = round(r["ms_per_batch"] / batch, 2)
+            results[name] = r
+            extra = (f" [{best_mode}]" if len(modes) > 1 else "")
             print(f"| {name} | {r['ms_per_batch']} ms | "
-                  f"{r['items_per_sec']} {r['unit']} |", flush=True)
+                  f"{r['items_per_sec']} {r['unit']} |{extra}", flush=True)
         except Exception as e:
             results[name] = {"error": str(e)[:160]}
             print(f"| {name} | ERROR {str(e)[:80]} |", flush=True)

@@ -174,6 +174,70 @@ def main(argv=None):
             return {lv: h for lv in cfg.levels}
         report("convlstm x3 (dispatch)", cl_fn, feats)
 
+    if "train" in want:
+        # Train-step breakdown (VERDICT round-3: the backward path had zero
+        # optimization work in round 2).  Chained through TrainState /
+        # through the image with a tiny loss feedback term.
+        from cmpc_refseg_tpu.train.optimizer import make_optimizer
+        from cmpc_refseg_tpu.train.trainer import (create_train_state,
+                                                   make_train_step)
+        tstate = create_train_state(jax.random.PRNGKey(0), cfg)
+        step_fn = make_train_step(cfg)
+        tb = {
+            "im": im0,
+            "words": feed["words"],
+            "seq_len": feed["seq_len"],
+            "target": jax.device_put(
+                (rng.random((B, cfg.H, cfg.W, 1)) > 0.7
+                 ).astype(np.float32)),
+        }
+        tstate = jax.device_put(tstate)
+
+        def step_chain(st):
+            return step_fn(st, tb)[0]
+        dt_s, comp = chain_time(step_chain, tstate)
+        print(f"{'train step (full)':24s} {dt_s * 1e3:7.2f} ms   "
+              f"(compile {comp:.1f}s)", flush=True)
+
+        from cmpc_refseg_tpu.models.model import compute_loss
+        from cmpc_refseg_tpu.train.optimizer import merge_params
+
+        def loss_of(trainable, frozen, mstate, im):
+            p = merge_params(trainable, frozen)
+            out, _ = apply_model(p, mstate, cfg, {**tb, "im": im},
+                                 train=True)
+            total, _ = compute_loss(out, tb["target"], cfg, p)
+            return total
+
+        @jax.jit
+        def fwd_only(tr, fr, ms, x):
+            return x + (loss_of(tr, fr, ms, x) * 1e-20).astype(x.dtype)
+        report("train fwd only (w/ loss)",
+               lambda x: fwd_only(tstate.trainable, tstate.frozen,
+                                  tstate.model_state, x), im0)
+
+        @jax.jit
+        def fwd_bwd(tr, fr, ms, x):
+            loss, grads = jax.value_and_grad(loss_of)(tr, fr, ms, x)
+            g0 = jax.tree.leaves(grads)[0]
+            return x + (loss * 1e-20).astype(x.dtype) \
+                + (jnp.sum(g0.astype(jnp.float32)) * 1e-20).astype(x.dtype)
+        report("train fwd+bwd (no adam)",
+               lambda x: fwd_bwd(tstate.trainable, tstate.frozen,
+                                 tstate.model_state, x), im0)
+
+        # optimizer update alone on zero grads (adam math + tree traffic)
+        opt = make_optimizer(cfg)
+        zeros = jax.tree.map(jnp.zeros_like, tstate.trainable)
+
+        @jax.jit
+        def adam_only(opt_state, grads, params):
+            upd, new_os = opt.update(grads, opt_state, params)
+            return new_os
+        report("adam update only",
+               lambda os_: adam_only(os_, zeros, tstate.trainable),
+               tstate.opt_state)
+
     if "heads" in want:
         sc = feats[cfg.levels[0]]
 
