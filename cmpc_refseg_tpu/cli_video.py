@@ -37,7 +37,9 @@ def make_video_train_step(cfg):
                                                  polynomial_lr)
     from cmpc_refseg_tpu.train.trainer import TrainState
 
-    opt = make_optimizer(cfg)
+    from jax.flatten_util import ravel_pytree
+    from cmpc_refseg_tpu.train.optimizer import scale_bias_grads_tree
+    opt = make_optimizer(cfg, flat=True)
 
     def loss_fn(trainable, frozen, model_state, batch):
         params = merge_params(trainable, frozen)
@@ -51,9 +53,12 @@ def make_video_train_step(cfg):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (metrics, new_ms)), grads = grad_fn(
             state.trainable, state.frozen, state.model_state, batch)
-        updates, new_opt = opt.update(grads, state.opt_state, state.trainable)
-        import jax as _jax
-        new_tr = _jax.tree.map(lambda p, u: p + u, state.trainable, updates)
+        # flat Adam over one raveled vector (trainer.make_train_step note)
+        grads = scale_bias_grads_tree(grads)
+        flat_g, _ = ravel_pytree(grads)
+        flat_p, unravel = ravel_pytree(state.trainable)
+        updates, new_opt = opt.update(flat_g, state.opt_state, flat_p)
+        new_tr = unravel(flat_p + updates)
         metrics["learning_rate"] = polynomial_lr(cfg)(state.step)
         return TrainState(new_tr, state.frozen, new_ms, new_opt,
                           state.step + 1), metrics
@@ -68,11 +73,13 @@ def create_video_train_state(seed, cfg, glove=None):
     from cmpc_refseg_tpu.train.trainer import TrainState
     import jax.numpy as jnp
 
+    from jax.flatten_util import ravel_pytree
     params, model_state = init_video_model(jax.random.PRNGKey(seed), cfg,
                                            glove)
     trainable, frozen = partition_params(params, cfg)
-    opt = make_optimizer(cfg)
-    return TrainState(trainable, frozen, model_state, opt.init(trainable),
+    opt = make_optimizer(cfg, flat=True)
+    return TrainState(trainable, frozen, model_state,
+                      opt.init(ravel_pytree(trainable)[0]),
                       jnp.zeros((), jnp.int32))
 
 

@@ -18,6 +18,8 @@ TPU-first redesigns (all mathematically equivalent to the reference):
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -196,50 +198,118 @@ def _graph_conv(gp, x_nodes, w_aff, v_aff):
 graph_conv_opt.defvjp(_graph_conv_opt_fwd, _graph_conv_opt_bwd)
 
 
+def _spa_affinity_xla(x_nodes, wg, bg, words_trans, rel, mask, *,
+                      scale: float, l2n: bool, masked_softmax: bool):
+    """XLA reference for the affinity + double-softmax epilogue
+    (CMPC_model.py:380-399): graph projection, scaled word-node affinity,
+    relation scaling, and the two softmax normalizations.
+
+    x_nodes [B,N,C]; wg [C,A]; bg [A]; words_trans [B,T,A] (already
+    l2-normalized when l2n); rel [B,1,T] f32 (words_parse relation row);
+    mask [B,1,T] f32.  Returns (w_aff, v_aff) [B,N,T] f32."""
+    dt = x_nodes.dtype
+    pref = jnp.float32 if dt == jnp.float32 else None
+    gt = (jnp.einsum("bnc,ca->bna", x_nodes, wg.astype(dt),
+                     preferred_element_type=pref).astype(dt)
+          + bg.astype(dt))
+    if l2n:
+        gt = l2_normalize(gt, -1)
+    affi = jnp.einsum("bna,bta->bnt", gt, words_trans.astype(gt.dtype),
+                      preferred_element_type=jnp.float32)  # f32 for softmax
+    affi = rel * (affi / scale)                           # relation scale
+    if masked_softmax:
+        # base (CMPC_model.py:389-399).  'unmasked' is the origin model,
+        # whose softmax runs over the SLICED valid words — statically
+        # identical to the masked softmax here.
+        neg = (1.0 - mask) * jnp.finfo(jnp.float32).min
+        w_aff = jax.nn.softmax(mask * affi + neg, axis=2)
+    else:
+        # v5/v6+: plain softmax then multiplicative mask
+        w_aff = mask * jax.nn.softmax(affi, axis=2)
+    v_aff = mask * jax.nn.softmax(affi, axis=1)
+    return w_aff, v_aff
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def spa_affinity_opt(x_nodes, wg, bg, words_trans, rel, mask,
+                     scale, l2n, masked_softmax):
+    """Affinity epilogue: ONE fused pallas kernel on TPU at batched
+    inference (projection matmul + word-affinity matmul + relation scale +
+    row softmax + flash-style column-softmax statistics, all VMEM-resident
+    per tile; only the [B,N,T] affinity and the tiny finalize touch HBM —
+    the [B,N,A] graph projection never does).  Plain XLA elsewhere / under
+    differentiation.  Sharded over the data axis on a declared mesh like
+    every other fused surface."""
+    mode = _fused_mode(x_nodes)
+    if mode is not None:
+        from cmpc_refseg_tpu.ops.fused_dispatch import shard_rows
+        from cmpc_refseg_tpu.ops.pallas_kernels import spa_affinity_fused
+        fn = functools.partial(spa_affinity_fused, scale=scale, l2n=l2n,
+                               masked_softmax=masked_softmax,
+                               interpret=mode)
+        fn = shard_rows(fn, in_batched=(True, False, False, True, True,
+                                        True),
+                        out_batched=(True, True))
+        return fn(x_nodes, wg, bg, words_trans, rel, mask)
+    return _spa_affinity_xla(x_nodes, wg, bg, words_trans, rel, mask,
+                             scale=scale, l2n=l2n,
+                             masked_softmax=masked_softmax)
+
+
+def _spa_affinity_fwd(x_nodes, wg, bg, words_trans, rel, mask,
+                      scale, l2n, masked_softmax):
+    out, vjp = jax.vjp(
+        functools.partial(_spa_affinity_xla, scale=scale, l2n=l2n,
+                          masked_softmax=masked_softmax),
+        x_nodes, wg, bg, words_trans, rel, mask)
+    return out, vjp
+
+
+def _spa_affinity_bwd(scale, l2n, masked_softmax, vjp, g):
+    return vjp(g)
+
+
+spa_affinity_opt.defvjp(_spa_affinity_fwd, _spa_affinity_bwd)
+
+
 def apply_spa_graph(params, cfg, spa_graph, words_feat, words_parse, seq_mask):
     """Spatial graph reasoning (CMPC_model.py:376-410 + variant norms).
 
     spa_graph [B,H,W,C]; words_feat [B,1,T,Cl]; seq_mask [B,1,T,1].
     """
     b, h, w, c = spa_graph.shape
-    t = words_feat.shape[2]
     affin_dim = cfg.vw_emb_dim or cfg.v_emb_dim
 
     words_trans = conv2d(params["words_trans"], words_feat)[:, 0]   # [B,T,A]
     nodes_in = spa_graph.reshape(b, h * w, c)
-    graph_trans = conv2d(params["spa_graph_trans2"],
-                         spa_graph).reshape(b, h * w, affin_dim)
-    if cfg.l2norm_affinity:  # v6+: l2-normalize both projections
-        words_trans = l2_normalize(words_trans, -1)
-        graph_trans = l2_normalize(graph_trans, -1)
-
-    affi = jnp.einsum("bna,bta->bnt", graph_trans,
-                      words_trans.astype(graph_trans.dtype),
-                      preferred_element_type=jnp.float32)  # f32 for softmax
-    affi = affi / (cfg.v_emb_dim ** 0.5)
     mask = seq_mask[:, :, :, 0]                                      # [B,1,T]
 
     if cfg.graph_norm == "double_softmax":
         # T2 (CMPCv4_BiLSTM_T2_model.py): softmax over HW, relation scale,
-        # adj = A @ A^T
+        # adj = A @ A^T.  One-variant path; stays XLA.
+        graph_trans = conv2d(params["spa_graph_trans2"],
+                             spa_graph).reshape(b, h * w, affin_dim)
+        if cfg.l2norm_affinity:
+            words_trans = l2_normalize(words_trans, -1)
+            graph_trans = l2_normalize(graph_trans, -1)
+        affi = jnp.einsum("bna,bta->bnt", graph_trans,
+                          words_trans.astype(graph_trans.dtype),
+                          preferred_element_type=jnp.float32)
+        affi = affi / (cfg.v_emb_dim ** 0.5)
         a = jax.nn.softmax(affi, axis=1)
         a = words_parse[:, :, :, 2] * a
         w_aff = v_aff = a
     else:
-        affi = words_parse[:, :, :, 2] * affi                # relation scale
-        if cfg.graph_norm in ("masked", "unmasked"):
-            # base (CMPC_model.py:389-399).  'unmasked' is the origin model,
-            # whose softmax runs over the SLICED valid words — statically
-            # identical to the masked softmax here.
-            neg = (1.0 - mask) * jnp.finfo(jnp.float32).min
-            w_aff = jax.nn.softmax(mask * affi + neg, axis=2)
-            v_aff = mask * jax.nn.softmax(affi, axis=1)
-        elif cfg.graph_norm == "softmax_mask":
-            # v5/v6+: plain softmax then multiplicative mask
-            w_aff = mask * jax.nn.softmax(affi, axis=2)
-            v_aff = mask * jax.nn.softmax(affi, axis=1)
-        else:
+        if cfg.graph_norm not in ("masked", "unmasked", "softmax_mask"):
             raise ValueError(f"unknown graph_norm {cfg.graph_norm!r}")
+        if cfg.l2norm_affinity:
+            words_trans = l2_normalize(words_trans, -1)
+        w_aff, v_aff = spa_affinity_opt(
+            nodes_in, params["spa_graph_trans2"]["DW"][0, 0],
+            params["spa_graph_trans2"]["biases"], words_trans,
+            words_parse[:, :, :, 2], mask,
+            float(cfg.v_emb_dim ** 0.5), bool(cfg.l2norm_affinity),
+            cfg.graph_norm in ("masked", "unmasked"))
 
     x = nodes_in
     for gp in params["gconv"]:

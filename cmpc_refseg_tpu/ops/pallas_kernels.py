@@ -249,24 +249,244 @@ def mutan_fused(x, w, b, lang, num_heads: int = 5):
     return _mutan_reference(x, w, b, lang, num_heads)
 
 
+def _use_fused_mutan_bwd(x) -> bool:
+    """Fused-backward gate: single-chip TPU bf16 training only.  The
+    multi-chip GSPMD train path keeps the XLA vjp (dW/db/dlang are batch
+    REDUCTIONS — not row-local, so the shard_map wrap used for inference
+    does not apply), as do f32 runs (the resident W + dW scratch would
+    blow the VMEM budget at f32)."""
+    from cmpc_refseg_tpu.ops.fused_dispatch import fused_mode
+    from cmpc_refseg_tpu.parallel.mesh import active_data_mesh
+    return (fused_mode(x.shape[0]) is False and active_data_mesh() is None
+            and x.dtype == jnp.bfloat16)
+
+
 def _mutan_fwd(x, w, b, lang, num_heads):
-    # Under differentiation (training) custom_vjp calls THIS instead of the
-    # primal: use the XLA reference forward and keep its vjp closure as the
-    # residual — autodiff then reuses the forward intermediates, which
-    # measures FASTER per train step than pallas-forward + full recompute
-    # (54.8 vs 56.4 ms at the reference geometry).  Inference (no grad)
-    # still runs the pallas primal.
+    # Under differentiation custom_vjp calls THIS instead of the primal.
+    # bf16 single-chip: run the PALLAS forward and save only the inputs —
+    # the backward kernel recomputes the [B,N,H*C] intermediate per tile in
+    # VMEM (mutan_bwd_fused).  The round-2 XLA-vjp choice materialized that
+    # intermediate as an f32 residual and re-read it through several layout
+    # copies — profiled at ~4 ms/level/step on v5e — so recompute-in-kernel
+    # wins decisively.  Elsewhere: XLA reference + its vjp closure.
+    if _use_fused_mutan_bwd(x):
+        out, v_res = _mutan_fwd_with_residual(x, w, b, lang,
+                                              num_heads=num_heads)
+        return out, (x, w, b, lang, v_res)
     out, vjp = jax.vjp(
         lambda x_, w_, b_, l_: _mutan_reference(x_, w_, b_, l_, num_heads),
         x, w, b, lang)
     return out, vjp
 
 
-def _mutan_bwd(num_heads, vjp, g):
-    return vjp(g)
+def _mutan_bwd(num_heads, res, g):
+    if isinstance(res, tuple):
+        x, w, b, lang, v_res = res
+        return mutan_bwd_fused(x, w, b, lang, g, v_res,
+                               num_heads=num_heads)
+    return res(g)
 
 
 mutan_fused.defvjp(_mutan_fwd, _mutan_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret",
+                                             "res_dtype"))
+def _mutan_fwd_with_residual(x, w, b, lang, *, num_heads: int = 5,
+                             interpret: bool = False,
+                             res_dtype=jnp.bfloat16):
+    """Pallas mutan forward that ALSO emits the bf16 tanh intermediate
+    v = tanh(x@W+b) [B,N,H*Cp] as the training residual — ONE bf16 write
+    instead of the f32 materializations + layout copies the XLA vjp path
+    produced (profiled ~4 ms/level/step on v5e).  Returns (out, v_pad,
+    aux) with aux = (kp, cp) for the backward's padded-layout matmuls."""
+    bsz, n, k = x.shape
+    c = w.shape[-1] // num_heads
+    kp = _round_up(k, 128)
+    cp = _round_up(c, 128)
+    hcp = num_heads * cp
+    dt = x.dtype
+
+    if kp != k:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, kp - k)))
+    x_flat = x.reshape(bsz * n, kp)
+    w_pad = jnp.zeros((kp, num_heads, cp), w.dtype)
+    w_pad = w_pad.at[:k, :, :c].set(w.reshape(k, num_heads, c))
+    w_wide = w_pad.reshape(kp, hcp).astype(dt)
+    b_pad = jnp.zeros((num_heads, cp), jnp.float32
+                      ).at[:, :c].set(b.reshape(num_heads, c)
+                                      ).reshape(1, hcp)
+    l_pad = jnp.zeros((bsz, num_heads, cp), jnp.float32
+                      ).at[:, :, :c].set(
+                          lang.reshape(bsz, num_heads, c).astype(jnp.float32)
+                      ).reshape(bsz, 1, hcp)
+
+    w_bytes = kp * hcp * x.dtype.itemsize
+    budget = 14 * 1024 * 1024 - w_bytes
+    per_row = (kp * 2 + hcp * 4 + hcp * 2 + cp * 2) * 2
+    cap = max(8, (budget // max(per_row, 1)) // 8 * 8)
+    tm = _pick_tm(n, min(256, cap))
+
+    def kern(x_ref, w_ref, b_ref, l_ref, o_ref, v_ref):
+        part = jnp.dot(x_ref[...], w_ref[...],
+                       preferred_element_type=jnp.float32) + b_ref[0]
+        v = jnp.tanh(part)                                 # [tm, hcp] f32
+        v_ref[...] = v.astype(v_ref.dtype)
+        prod = v * l_ref[0]
+        acc = jnp.zeros((tm, cp), jnp.float32)
+        for h in range(num_heads):
+            acc = acc + prod[:, h * cp:(h + 1) * cp]
+        y = jnp.tanh(acc)
+        sq = jnp.sum(y * y, axis=-1, keepdims=True)
+        o_ref[...] = (y * jax.lax.rsqrt(jnp.maximum(sq, 1e-12))
+                      ).astype(o_ref.dtype)
+
+    row = lambda bi, ti: (bi * (n // tm) + ti, 0)  # noqa: E731
+    out, v_res = pl.pallas_call(
+        kern,
+        grid=(bsz, n // tm),
+        in_specs=[
+            pl.BlockSpec((tm, kp), row),
+            pl.BlockSpec((kp, hcp), lambda bi, ti: (0, 0)),
+            pl.BlockSpec((1, hcp), lambda bi, ti: (0, 0)),
+            pl.BlockSpec((1, 1, hcp), lambda bi, ti: (bi, 0, 0)),
+        ],
+        out_specs=[pl.BlockSpec((tm, cp), row),
+                   pl.BlockSpec((tm, hcp), row)],
+        out_shape=[jax.ShapeDtypeStruct((bsz * n, cp), dt),
+                   jax.ShapeDtypeStruct((bsz * n, hcp), res_dtype)],
+        interpret=interpret,
+    )(x_flat, w_wide, b_pad, l_pad)
+    return out[:, :c].reshape(bsz, n, c), v_res
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
+def mutan_bwd_fused(x, w, b, lang, g, v_res, *, num_heads: int = 5,
+                    interpret: bool = False):
+    """Fused mutan backward from the saved bf16 intermediate.
+
+    x [B,N,K], w [K,H*C], b [H*C], lang [B,H*C], g [B,N,C] (cotangent),
+    v_res [B*N, H*Cp] bf16 (from _mutan_fwd_with_residual) ->
+    (dx, dw, db, dlang) matching jax.vjp of _mutan_reference.
+
+    The pallas kernel rebuilds the l2norm/tanh chain from v per tile and
+    emits dz (bf16, the ONLY H*C-wide HBM write) plus the per-sample dlang
+    and global db reductions in scratch; dx = dz @ W^T and dW = x^T dz run
+    as two plain XLA matmuls on the padded layout (MXU-efficient, no
+    layout copies — the XLA autodiff path produced six f32 [B,N,H*C]
+    copies here)."""
+    bsz, n, k = x.shape
+    c = w.shape[-1] // num_heads
+    kp = _round_up(k, 128)
+    cp = _round_up(c, 128)
+    hcp = num_heads * cp
+    eps = 1e-12
+
+    l_pad = jnp.zeros((bsz, num_heads, cp), jnp.float32
+                      ).at[:, :, :c].set(
+                          lang.reshape(bsz, num_heads, c).astype(jnp.float32)
+                      ).reshape(bsz, 1, hcp)
+    g_pad = jnp.zeros((bsz, n, cp), jnp.float32
+                      ).at[:, :, :c].set(g.astype(jnp.float32))
+    g_flat = g_pad.reshape(bsz * n, cp)
+
+    # tiles: largest mult-of-8 divisor of n with ~4 wide f32 buffers < 8MB
+    cap = max(8, (8 * 1024 * 1024 // (hcp * 4 * 4)) // 8 * 8)
+    tm = _pick_tm(n, min(256, cap))
+    tiles = n // tm
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kern(v_ref, l_ref, g_ref, dz_ref, dl_ref, db_ref,
+             dlacc_ref, dbacc_ref):
+        bi = pl.program_id(0)
+        ti = pl.program_id(1)
+
+        @pl.when((bi == 0) & (ti == 0))
+        def _():
+            dbacc_ref[...] = jnp.zeros_like(dbacc_ref)
+
+        @pl.when(ti == 0)
+        def _():
+            dlacc_ref[...] = jnp.zeros_like(dlacc_ref)
+
+        v = v_ref[...].astype(jnp.float32)                 # [tm, hcp]
+        lrow = l_ref[0]                                    # [1, hcp]
+        prod = v * lrow
+        acc = jnp.zeros((tm, cp), jnp.float32)
+        for h in range(num_heads):
+            acc = acc + prod[:, h * cp:(h + 1) * cp]
+        y = jnp.tanh(acc)
+        sq = jnp.sum(y * y, axis=-1, keepdims=True)
+        r = jax.lax.rsqrt(jnp.maximum(sq, eps))
+        out = y * r
+        gt = g_ref[...]
+        gy = jnp.sum(gt * out, axis=-1, keepdims=True)
+        dy = jnp.where(sq > eps, (gt - out * gy) * r, gt * r)
+        dacc = dy * (1.0 - y * y)                          # [tm, cp]
+        dacc_w = jnp.concatenate([dacc] * num_heads, axis=-1)
+        dz = dacc_w * lrow * (1.0 - v * v)                 # [tm, hcp] f32
+        dlacc_ref[...] += jnp.sum(dacc_w * v, axis=0, keepdims=True)
+        dbacc_ref[...] += jnp.sum(dz, axis=0, keepdims=True)
+        dz_ref[...] = dz.astype(dz_ref.dtype)
+
+        @pl.when(ti == tiles - 1)
+        def _():
+            dl_ref[0] = dlacc_ref[...]
+
+        @pl.when((bi == pl.num_programs(0) - 1) & (ti == tiles - 1))
+        def _():
+            db_ref[...] = dbacc_ref[...]
+
+    row = lambda bi, ti: (bi * tiles + ti, 0)  # noqa: E731
+    dz_p, dl_p, db_p = pl.pallas_call(
+        kern,
+        grid=(bsz, tiles),
+        in_specs=[
+            pl.BlockSpec((tm, hcp), row),
+            pl.BlockSpec((1, 1, hcp), lambda bi, ti: (bi, 0, 0)),
+            pl.BlockSpec((tm, cp), row),
+        ],
+        out_specs=[
+            pl.BlockSpec((tm, hcp), row),
+            pl.BlockSpec((1, 1, hcp), lambda bi, ti: (bi, 0, 0)),
+            pl.BlockSpec((1, hcp), lambda bi, ti: (0, 0)),
+        ],
+        out_shape=[
+            # dz precision follows the residual's (bf16 in production; f32
+            # residuals keep the whole backward exact for the math tests)
+            jax.ShapeDtypeStruct((bsz * n, hcp), v_res.dtype),
+            jax.ShapeDtypeStruct((bsz, 1, hcp), jnp.float32),
+            jax.ShapeDtypeStruct((1, hcp), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((1, hcp), jnp.float32),
+                        pltpu.VMEM((1, hcp), jnp.float32)],
+        interpret=interpret,
+    )(v_res, l_pad, g_flat)
+
+    # dx / dW as two big padded-layout MXU matmuls in XLA
+    dt = x.dtype
+    if kp != k:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, kp - k)))
+    x_flat = x.reshape(bsz * n, kp).astype(dt)
+    w_pad = jnp.zeros((kp, num_heads, cp), w.dtype)
+    w_pad = w_pad.at[:k, :, :c].set(w.reshape(k, num_heads, c))
+    w_wide = w_pad.reshape(kp, hcp).astype(dt)
+    dx_p = jax.lax.dot_general(dz_p.astype(dt), w_wide,
+                               (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    dw_p = jax.lax.dot_general(x_flat, dz_p.astype(dt),
+                               (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+    dx = dx_p.astype(dt).reshape(bsz, n, kp)[:, :, :k]
+    dw = dw_p.reshape(kp, num_heads, cp)[:k, :, :c].reshape(
+        k, num_heads * c).astype(w.dtype)
+    db = db_p.reshape(num_heads, cp)[:, :c].reshape(
+        num_heads * c).astype(b.dtype)
+    dlang = dl_p.reshape(bsz, num_heads, cp)[:, :, :c].reshape(
+        bsz, num_heads * c).astype(lang.dtype)
+    return dx, dw, db, dlang
 
 
 # ---------------------------------------------------------------------------
@@ -652,6 +872,128 @@ def graph_conv_fused(gp, x_nodes, w_aff, v_aff, *, interpret=False):
     out = ((zf - m[:, None, None]) * inv * gp["update_ln"]["gamma"]
            + gp["update_ln"]["beta"])
     return jax.nn.relu(out).astype(dt)
+
+
+# ---------------------------------------------------------------------------
+# Fused spa-graph affinity epilogue (CMPC_model.py:380-399)
+# ---------------------------------------------------------------------------
+#
+# XLA runs the affinity block as ~7 passes: the graph projection matmul
+# (materializing [B,N,A] in HBM), optional l2norm, the word-affinity einsum,
+# relation scaling, and TWO softmaxes (each a reduce+apply pair over
+# [B,N,T]).  The fused kernel keeps the [tm,A] projection VMEM-resident per
+# tile and does projection -> (l2norm) -> affinity -> relation scale -> row
+# softmax (over T, row-local) in one pass, accumulating flash-style
+# (running max, rescaled sum-exp) statistics for the column softmax over N;
+# a single fused XLA pass finalizes v_aff from the stored affinity + stats.
+# The [B,N,A] intermediate never reaches HBM.
+
+
+def spa_affinity_fused(x2, wg, bg, wt, rel, mask, *, scale: float,
+                       l2n: bool, masked_softmax: bool, interpret=False):
+    """x2 [B,N,C] (compute dtype); wg [C,A]; bg [A]; wt [B,T,A] (already
+    l2-normalized when the config asks); rel/mask [B,1,T] f32.
+    Returns (w_aff, v_aff) [B,N,T] f32 — cmpc._spa_affinity_xla parity."""
+    bsz, n, c = x2.shape
+    t = wt.shape[1]
+    a = wg.shape[-1]
+    dt = x2.dtype
+    tiles = 1
+    for cand in (4, 2, 1):
+        if n % cand == 0 and (n // cand) % 8 == 0:
+            tiles = cand
+            break
+    tm = n // tiles
+    neg = float(jnp.finfo(jnp.float32).min)
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    xf = x2.reshape(bsz * n, c)
+    wgd = wg.astype(dt)
+    bgd = bg.reshape(1, a).astype(dt)
+    wtd = wt.astype(dt)
+    relf = rel.astype(jnp.float32)
+    maskf = mask.astype(jnp.float32)
+
+    def kern(x_ref, wg_ref, bg_ref, wt_ref, r_ref, m_ref,
+             w_ref, af_ref, s_ref, acc_ref):
+        ti = pl.program_id(1)
+
+        @pl.when(ti == 0)
+        def _():
+            acc_ref[0:1, :] = jnp.full((1, t), neg, jnp.float32)
+            acc_ref[1:2, :] = jnp.zeros((1, t), jnp.float32)
+
+        gt = (jnp.dot(x_ref[...], wg_ref[...],
+                      preferred_element_type=jnp.float32).astype(dt)
+              + bg_ref[0])
+        if l2n:
+            gf = gt.astype(jnp.float32)
+            sq = jnp.sum(gf * gf, axis=-1, keepdims=True)
+            gt = (gf * jax.lax.rsqrt(jnp.maximum(sq, 1e-12))).astype(dt)
+        affi = jax.lax.dot_general(
+            gt, wt_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) / scale       # [tm, T]
+        affi = r_ref[0] * affi                                 # rel scale
+        af_ref[...] = affi
+
+        mrow = m_ref[0]                                        # [1, T]
+        if masked_softmax:
+            z = mrow * affi + (1.0 - mrow) * neg
+        else:
+            z = affi
+        zmax = jnp.max(z, axis=-1, keepdims=True)
+        e = jnp.exp(z - zmax)
+        wrow = e / jnp.sum(e, axis=-1, keepdims=True)
+        if not masked_softmax:
+            wrow = mrow * wrow
+        w_ref[...] = wrow
+
+        # flash-style column (over N) softmax statistics
+        old_max = acc_ref[0:1, :]
+        old_sum = acc_ref[1:2, :]
+        tile_max = jnp.max(affi, axis=0, keepdims=True)        # [1, T]
+        new_max = jnp.maximum(old_max, tile_max)
+        new_sum = (old_sum * jnp.exp(old_max - new_max)
+                   + jnp.sum(jnp.exp(affi - new_max), axis=0, keepdims=True))
+        acc_ref[0:1, :] = new_max
+        acc_ref[1:2, :] = new_sum
+
+        @pl.when(ti == tiles - 1)
+        def _():
+            s_ref[0] = acc_ref[...]
+
+    w_out, affi_out, stats = pl.pallas_call(
+        kern,
+        grid=(bsz, tiles),
+        in_specs=[
+            pl.BlockSpec((tm, c), lambda b, ti: (b * tiles + ti, 0)),
+            pl.BlockSpec((c, a), lambda b, ti: (0, 0)),
+            pl.BlockSpec((1, a), lambda b, ti: (0, 0)),
+            pl.BlockSpec((1, t, a), lambda b, ti: (b, 0, 0)),
+            pl.BlockSpec((1, 1, t), lambda b, ti: (b, 0, 0)),
+            pl.BlockSpec((1, 1, t), lambda b, ti: (b, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((tm, t), lambda b, ti: (b * tiles + ti, 0)),
+            pl.BlockSpec((tm, t), lambda b, ti: (b * tiles + ti, 0)),
+            pl.BlockSpec((1, 2, t), lambda b, ti: (b, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz * n, t), jnp.float32),
+            jax.ShapeDtypeStruct((bsz * n, t), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, 2, t), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((2, t), jnp.float32)],
+        interpret=interpret,
+    )(xf, wgd, bgd, wtd, relf, maskf)
+
+    # finalize v_aff in one fused XLA elementwise pass
+    vmax = stats[:, 0][:, None, :]                             # [B,1,T]
+    vsum = stats[:, 1][:, None, :]
+    affi3 = affi_out.reshape(bsz, n, t)
+    v_aff = maskf * (jnp.exp(affi3 - vmax) / vsum)
+    return w_out.reshape(bsz, n, t), v_aff
 
 
 # ---------------------------------------------------------------------------

@@ -41,17 +41,33 @@ def _scale_bias_grads(mult: float = 2.0):
                                         update_fn)
 
 
-def make_optimizer(cfg):
+def scale_bias_grads_tree(grads, mult: float = 2.0):
+    """The reference bias-gradient x2 applied directly on a gradient pytree
+    (used by the flat optimizer path; each multiply fuses into the kernel
+    that produced the gradient leaf)."""
+    def scale(path, g):
+        is_bias = any(getattr(k, "key", None) == "biases" for k in path)
+        return g * mult if is_bias else g
+    return jax.tree_util.tree_map_with_path(scale, grads)
+
+
+def make_optimizer(cfg, flat: bool = False):
     """optax chain reproducing reference train_op semantics.  With
     cfg.grad_accum > 1, gradients average over that many micro-batches
-    before each Adam update (effective batch = batch_size * grad_accum)."""
+    before each Adam update (effective batch = batch_size * grad_accum).
+
+    flat=True returns the optimizer WITHOUT the bias-scaling stage, for use
+    on ONE raveled parameter vector (jax.flatten_util.ravel_pytree): Adam
+    over a few big arrays instead of ~300 leaves.  Measured on v5e-1: the
+    per-leaf Adam update alone cost 12.3 ms/step (thousands of tiny kernel
+    launches); the flat path runs it in a handful of fused kernels.  The
+    caller applies scale_bias_grads_tree on the gradient pytree BEFORE
+    raveling (path information does not survive the ravel)."""
     if cfg.optimizer != "adam":
         raise ValueError(f"Unknown optimizer type {cfg.optimizer!r}")
-    opt = optax.chain(
-        _scale_bias_grads(2.0),
-        optax.adam(learning_rate=polynomial_lr(cfg),
-                   b1=0.9, b2=0.999, eps=1e-8),
-    )
+    adam = optax.adam(learning_rate=polynomial_lr(cfg),
+                      b1=0.9, b2=0.999, eps=1e-8)
+    opt = adam if flat else optax.chain(_scale_bias_grads(2.0), adam)
     if getattr(cfg, "grad_accum", 1) > 1:
         opt = optax.MultiSteps(opt, every_k_schedule=cfg.grad_accum)
     return opt

@@ -38,10 +38,14 @@ class TrainState:
 
 
 def create_train_state(key, cfg: ModelConfig, glove=None) -> TrainState:
+    from jax.flatten_util import ravel_pytree
     params, model_state = init_model(key, cfg, glove)
     trainable, frozen = partition_params(params, cfg)
-    opt = make_optimizer(cfg)
-    opt_state = opt.init(trainable)
+    # Adam state lives over ONE raveled vector (optimizer.make_optimizer
+    # flat=True docstring: the per-leaf update was launch-bound at ~300
+    # leaves, 12.3 ms/step on v5e)
+    opt = make_optimizer(cfg, flat=True)
+    opt_state = opt.init(ravel_pytree(trainable)[0])
     return TrainState(trainable=trainable, frozen=frozen,
                       model_state=model_state, opt_state=opt_state,
                       step=jnp.zeros((), jnp.int32))
@@ -61,7 +65,9 @@ def make_train_step(cfg: ModelConfig) -> Callable:
     batch: {'im' [B,H,W,3] f32 BGR-mean-sub, 'target' [B,H,W,1] f32,
     text fields per encoder}.  B is the GLOBAL batch.
     """
-    opt = make_optimizer(cfg)
+    from jax.flatten_util import ravel_pytree
+    from cmpc_refseg_tpu.train.optimizer import scale_bias_grads_tree
+    opt = make_optimizer(cfg, flat=True)
 
     def loss_fn(trainable, frozen, model_state, batch, rng):
         params = merge_params(trainable, frozen)
@@ -87,10 +93,14 @@ def make_train_step(cfg: ModelConfig) -> Callable:
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (metrics, new_model_state)), grads = grad_fn(
             state.trainable, state.frozen, state.model_state, batch, rng)
-        updates, new_opt_state = opt.update(grads, state.opt_state,
-                                            state.trainable)
-        new_trainable = jax.tree.map(lambda p, u: p + u, state.trainable,
-                                     updates)
+        # Flat update: bias x2 on the pytree (fuses into the grad kernels),
+        # then ravel once — Adam + the parameter add run on a single big
+        # vector instead of ~300 leaves (launch-bound: 12.3 ms -> ~1 ms).
+        grads = scale_bias_grads_tree(grads)
+        flat_g, _ = ravel_pytree(grads)
+        flat_p, unravel = ravel_pytree(state.trainable)
+        updates, new_opt_state = opt.update(flat_g, state.opt_state, flat_p)
+        new_trainable = unravel(flat_p + updates)
         # Under grad accumulation the Adam schedule advances once per
         # UPDATE, not per micro-step: read MultiSteps' gradient_step (the
         # inner update count) so the logged LR is the one Adam applies.

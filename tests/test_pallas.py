@@ -368,3 +368,135 @@ class TestFusedModePolicy:
             got = cmpc.se_sum_opt(feat, others, gates, ws, bs)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=0, atol=0)   # identical branch
+
+
+class TestFusedSpaAffinity:
+    """spa_affinity_fused (interpret mode) vs cmpc._spa_affinity_xla: the
+    graph projection + word affinity + relation scale + both softmax
+    normalizations (CMPC_model.py:380-399), incl. the flash-style column
+    softmax statistics."""
+
+    def _inputs(self, rng, B=2, N=64, C=32, A=24, T=6):
+        x = jnp.asarray(rng.standard_normal((B, N, C)), jnp.float32)
+        wg = jnp.asarray(0.2 * rng.standard_normal((C, A)), jnp.float32)
+        bg = jnp.asarray(0.1 * rng.standard_normal((A,)), jnp.float32)
+        wt = jnp.asarray(rng.standard_normal((B, T, A)), jnp.float32)
+        rel = jnp.asarray(rng.random((B, 1, T)), jnp.float32)
+        mask = np.zeros((B, 1, T), np.float32)
+        mask[:, :, :4] = 1
+        return x, wg, bg, wt, rel, jnp.asarray(mask)
+
+    @pytest.mark.parametrize("l2n,masked", [(False, True), (False, False),
+                                            (True, False)])
+    def test_matches_xla(self, rng, l2n, masked):
+        from cmpc_refseg_tpu.models import cmpc
+        from cmpc_refseg_tpu.ops.pallas_kernels import spa_affinity_fused
+        x, wg, bg, wt, rel, mask = self._inputs(rng)
+        want_w, want_v = cmpc._spa_affinity_xla(
+            x, wg, bg, wt, rel, mask, scale=32 ** 0.5, l2n=l2n,
+            masked_softmax=masked)
+        got_w, got_v = spa_affinity_fused(
+            x, wg, bg, wt, rel, mask, scale=32 ** 0.5, l2n=l2n,
+            masked_softmax=masked, interpret=True)
+        np.testing.assert_allclose(np.asarray(got_w), np.asarray(want_w),
+                                   rtol=2e-5, atol=2e-6)
+        np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v),
+                                   rtol=2e-5, atol=2e-6)
+
+    def test_multi_tile_stats(self, rng):
+        """N large enough for several tiles: the flash-rescaled column
+        statistics must equal the exact softmax over all rows."""
+        from cmpc_refseg_tpu.models import cmpc
+        from cmpc_refseg_tpu.ops.pallas_kernels import spa_affinity_fused
+        x, wg, bg, wt, rel, mask = self._inputs(rng, N=256)
+        want_w, want_v = cmpc._spa_affinity_xla(
+            x, wg, bg, wt, rel, mask, scale=32 ** 0.5, l2n=False,
+            masked_softmax=True)
+        got_w, got_v = spa_affinity_fused(
+            x, wg, bg, wt, rel, mask, scale=32 ** 0.5, l2n=False,
+            masked_softmax=True, interpret=True)
+        np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v),
+                                   rtol=2e-5, atol=2e-6)
+        np.testing.assert_allclose(np.asarray(got_w), np.asarray(want_w),
+                                   rtol=2e-5, atol=2e-6)
+
+    def test_dispatch_grad_uses_xla_path(self, rng):
+        """spa_affinity_opt under grad runs the XLA reference and yields
+        finite grads into every operand."""
+        from cmpc_refseg_tpu.models import cmpc
+        x, wg, bg, wt, rel, mask = self._inputs(rng, B=1, N=16)
+
+        def loss(x, wg, bg, wt):
+            w, v = cmpc.spa_affinity_opt(x, wg, bg, wt, rel, mask,
+                                         32 ** 0.5, False, True)
+            return jnp.sum(w * w) + jnp.sum(v)
+
+        gx, gw, gb, gt_ = jax.grad(loss, argnums=(0, 1, 2, 3))(x, wg, bg, wt)
+        for g in (gx, gw, gb, gt_):
+            assert np.isfinite(np.asarray(g)).all()
+            assert float(jnp.sum(jnp.abs(g))) > 0
+
+    def test_sharded_dispatch(self, rng, monkeypatch):
+        from cmpc_refseg_tpu.models import cmpc
+        from cmpc_refseg_tpu.parallel.mesh import (data_parallel_dispatch,
+                                                   make_mesh)
+        monkeypatch.setenv("CMPC_FUSED", "interpret")
+        x, wg, bg, wt, rel, mask = self._inputs(rng, B=4)
+        want_w, want_v = cmpc._spa_affinity_xla(
+            x, wg, bg, wt, rel, mask, scale=32 ** 0.5, l2n=False,
+            masked_softmax=True)
+        with data_parallel_dispatch(make_mesh(4)):
+            got_w, got_v = cmpc.spa_affinity_opt(
+                x, wg, bg, wt, rel, mask, 32 ** 0.5, False, True)
+        np.testing.assert_allclose(np.asarray(got_w), np.asarray(want_w),
+                                   rtol=2e-5, atol=2e-6)
+        np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v),
+                                   rtol=2e-5, atol=2e-6)
+
+
+class TestFusedMutanBackward:
+    """mutan_bwd_fused (interpret) vs jax.vjp of the XLA reference: the
+    recompute-in-kernel backward must reproduce dx/dw/db/dlang."""
+
+    def _case(self, rng, B=2, N=64, K=24, C=16, nh=5):
+        x = jnp.asarray(rng.standard_normal((B, N, K)), jnp.float32)
+        w = jnp.asarray(0.1 * rng.standard_normal((K, nh * C)), jnp.float32)
+        b = jnp.asarray(0.1 * rng.standard_normal((nh * C,)), jnp.float32)
+        lang = jnp.asarray(rng.standard_normal((B, nh * C)), jnp.float32)
+        g = jnp.asarray(rng.standard_normal((B, N, C)), jnp.float32)
+        return x, w, b, lang, g, nh
+
+    def _check(self, rng, res_dtype=jnp.float32, rtol=3e-5, atol=3e-5,
+               **kw):
+        from cmpc_refseg_tpu.ops.pallas_kernels import (
+            _mutan_fwd_with_residual, mutan_bwd_fused)
+        x, w, b, lang, g, nh = self._case(rng, **kw)
+        ref_out, vjp = jax.vjp(
+            lambda x_, w_, b_, l_: _mutan_reference(x_, w_, b_, l_, nh),
+            x, w, b, lang)
+        want = vjp(g)
+        out, v_res = _mutan_fwd_with_residual(x, w, b, lang, num_heads=nh,
+                                              interpret=True,
+                                              res_dtype=res_dtype)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                                   rtol=3e-5, atol=3e-5)
+        got = mutan_bwd_fused(x, w, b, lang, g, v_res, num_heads=nh,
+                              interpret=True)
+        for a, bb, name in zip(got, want, ("dx", "dw", "db", "dlang")):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                       rtol=rtol, atol=atol, err_msg=name)
+
+    def test_matches_xla_vjp_exact_math(self, rng):
+        """f32 residual: the backward math itself is exact vs the XLA vjp."""
+        self._check(rng)
+
+    def test_matches_xla_vjp_multi_tile(self, rng):
+        """Several row tiles per sample: the per-sample dlang / global db
+        accumulations must span the grid correctly."""
+        self._check(rng, B=3, N=128)
+
+    def test_bf16_residual_tolerance(self, rng):
+        """bf16 residual (the production dtype): grads track the f32 vjp to
+        bf16 quantization error — the documented precision trade for not
+        materializing the f32 intermediate."""
+        self._check(rng, res_dtype=jnp.bfloat16, rtol=0.05, atol=0.05)

@@ -419,3 +419,31 @@ def test_train_step_accepts_u8_batch(rng):
     }
     state, metrics = step(state, prepare_image_batch_u8(collated))
     assert np.isfinite(float(metrics["loss_cls_all"]))
+
+
+def test_flat_optimizer_matches_per_leaf_path():
+    """The raveled Adam path (make_optimizer flat=True + ravel_pytree,
+    the launch-bound fix) must produce EXACTLY the per-leaf chain's
+    updates, including the bias-gradient x2."""
+    from jax.flatten_util import ravel_pytree
+    from cmpc_refseg_tpu.train.optimizer import scale_bias_grads_tree
+    cfg = get_config("CMPC_model", **TINY)
+    params = {"a": {"DW": jnp.ones((3, 2)), "biases": jnp.zeros((2,))},
+              "b": {"DW": jnp.full((2, 2), 0.5)}}
+    grads = jax.tree.map(lambda x: 0.1 * (x + 1.0), params)
+
+    opt_tree = make_optimizer(cfg)
+    st_tree = opt_tree.init(params)
+    upd_tree, _ = opt_tree.update(grads, st_tree, params)
+
+    opt_flat = make_optimizer(cfg, flat=True)
+    flat_p, unravel = ravel_pytree(params)
+    st_flat = opt_flat.init(flat_p)
+    flat_g, _ = ravel_pytree(scale_bias_grads_tree(grads))
+    upd_flat, _ = opt_flat.update(flat_g, st_flat, flat_p)
+    upd_flat_tree = unravel(upd_flat)
+
+    for a, b in zip(jax.tree.leaves(upd_tree),
+                    jax.tree.leaves(upd_flat_tree)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-9)

@@ -193,12 +193,6 @@ def main(argv=None):
         }
         tstate = jax.device_put(tstate)
 
-        def step_chain(st):
-            return step_fn(st, tb)[0]
-        dt_s, comp = chain_time(step_chain, tstate)
-        print(f"{'train step (full)':24s} {dt_s * 1e3:7.2f} ms   "
-              f"(compile {comp:.1f}s)", flush=True)
-
         from cmpc_refseg_tpu.models.model import compute_loss
         from cmpc_refseg_tpu.train.optimizer import merge_params
 
@@ -226,17 +220,46 @@ def main(argv=None):
                lambda x: fwd_bwd(tstate.trainable, tstate.frozen,
                                  tstate.model_state, x), im0)
 
-        # optimizer update alone on zero grads (adam math + tree traffic)
-        opt = make_optimizer(cfg)
+        # optimizer update alone on zero grads (adam math + ravel traffic —
+        # the production flat path; the per-leaf chain measured 12.3 ms)
+        from jax.flatten_util import ravel_pytree
+        opt = make_optimizer(cfg, flat=True)
         zeros = jax.tree.map(jnp.zeros_like, tstate.trainable)
 
         @jax.jit
         def adam_only(opt_state, grads, params):
-            upd, new_os = opt.update(grads, opt_state, params)
-            return new_os
-        report("adam update only",
+            fg, _ = ravel_pytree(grads)
+            fp, unravel = ravel_pytree(params)
+            upd, new_os = opt.update(fg, opt_state, fp)
+            new_tree = unravel(fp + upd)
+            # touch every unraveled leaf so the slice-out cost is measured
+            s = sum(jnp.sum(l.astype(jnp.float32))
+                    for l in jax.tree.leaves(new_tree))
+            return jax.tree.map(
+                lambda x: x + (s * 0).astype(x.dtype)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, new_os)
+        report("adam update only (flat)",
                lambda os_: adam_only(os_, zeros, tstate.trainable),
                tstate.opt_state)
+
+        # full step LAST: make_train_step donates its input state, so chain
+        # FORWARD through the returned state (an input state's buffers are
+        # gone after the call) and sync via a host read of .step
+        st = tstate
+        t0 = time.perf_counter()
+        st = step_fn(st, tb)[0]
+        float(st.step)
+        comp = time.perf_counter() - t0
+        ts = []
+        for k in (5, 30):
+            t0 = time.perf_counter()
+            for _ in range(k):
+                st = step_fn(st, tb)[0]
+            float(st.step)
+            ts.append(time.perf_counter() - t0)
+        dt_s = (ts[1] - ts[0]) / 25
+        print(f"{'train step (full)':24s} {dt_s * 1e3:7.2f} ms   "
+              f"(compile {comp:.1f}s)", flush=True)
 
     if "heads" in want:
         sc = feats[cfg.levels[0]]
