@@ -114,16 +114,25 @@ def main():
         tstate, m = step_fn(tstate, tb)
         float(tstate.step)   # host sync
         log(f"bench: train compile+run {time.perf_counter() - t0:.1f}s")
-        # train steps chain naturally through the state; sync via host read
-        titers = 10 if on_tpu else 1
+        # train steps chain naturally through the state (donated input ->
+        # chain forward); slope protocol like the inference measurement so
+        # queue-fill/dispatch constants cancel and the steady-state device
+        # step time is what's reported
+        tk1, tk2 = (5, 30) if on_tpu else (1, 2)
         t0 = time.perf_counter()
-        for _ in range(titers):
+        for _ in range(tk1):
             tstate, m = step_fn(tstate, tb)
         float(tstate.step)
-        tdt = time.perf_counter() - t0
+        t_a = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(tk2):
+            tstate, m = step_fn(tstate, tb)
+        float(tstate.step)
+        t_b = time.perf_counter() - t0
+        tdt = (t_b - t_a) / (tk2 - tk1)
         train_metrics = {
-            "train_steps_per_sec": titers / tdt,
-            "train_images_per_sec": batch * titers / tdt,
+            "train_steps_per_sec": 1.0 / tdt,
+            "train_images_per_sec": batch / tdt,
         }
     except Exception as e:  # keep the primary metric alive regardless
         train_metrics = {"train_bench_error": str(e)[:120]}
