@@ -92,7 +92,7 @@ def apply_mutan(params, lang_feat, spatial_feat, visual_feat,
     nh = num_heads
     b, h, w, c_vis = visual_feat.shape
     pad = params.get("pad")
-    mode = fused_mode(b)        # no batch gate: mutan wins at every batch
+    mode = fused_mode(b, kernel="mutan")   # no batch gate: wins at every batch
     if pad is not None and mode is not None:
         import functools
         kp = pad["w_wide"].shape[0]
@@ -150,8 +150,11 @@ def graph_conv_opt(gp, x_nodes, w_aff, v_aff):
     ops/pallas_kernels.py::graph_conv_fused), plain XLA elsewhere; under
     differentiation the XLA path runs and autodiff reuses its
     intermediates (mutan_fused pattern).  On a declared data-parallel mesh
-    the kernel runs under shard_map over the data axis (batch-row-local)."""
-    mode = _fused_mode(x_nodes)
+    the kernel runs under shard_map over the data axis (batch-row-local).
+    Batch gate: bs>=4 (measured; the video path's spa-graph runs at b=1
+    where the fused trio costs ~11 clips/s — LATENCY.json A/B.  bs=1 image
+    serving can opt in with CMPC_FUSED=on, which wins for some variants)."""
+    mode = _fused_mode(x_nodes, kernel="graph")
     if mode is not None:
         import functools
         from cmpc_refseg_tpu.ops.fused_dispatch import shard_rows
@@ -239,8 +242,8 @@ def spa_affinity_opt(x_nodes, wg, bg, words_trans, rel, mask,
     per tile; only the [B,N,T] affinity and the tiny finalize touch HBM —
     the [B,N,A] graph projection never does).  Plain XLA elsewhere / under
     differentiation.  Sharded over the data axis on a declared mesh like
-    every other fused surface."""
-    mode = _fused_mode(x_nodes)
+    every other fused surface.  Batch gate bs>=4 (see graph_conv_opt)."""
+    mode = _fused_mode(x_nodes, kernel="affinity")
     if mode is not None:
         from cmpc_refseg_tpu.ops.fused_dispatch import shard_rows
         from cmpc_refseg_tpu.ops.pallas_kernels import spa_affinity_fused
@@ -467,8 +470,8 @@ def se_sum_opt(feat, others, gates, ws, bs):
     TPU at batched inference (ops/pallas_kernels.py::se_sum_fused), plain
     XLA elsewhere / under differentiation.  Data-parallel meshes run it
     under shard_map (row-local: feat/others/gates shard by batch, ws/bs
-    replicate)."""
-    mode = _fused_mode(feat)
+    replicate).  Batch gate bs>=4 (see graph_conv_opt)."""
+    mode = _fused_mode(feat, kernel="sesum")
     if mode is not None:
         from cmpc_refseg_tpu.ops.fused_dispatch import shard_rows
         from cmpc_refseg_tpu.ops.pallas_kernels import se_sum_fused
@@ -744,20 +747,20 @@ def apply_fusion_stack(p, cfg, feats: dict, lang_feat):
     return h
 
 
-def _fused_mode(x, min_batch: int = 4):
+def _fused_mode(x, min_batch: int = 4, kernel=None):
     """Fused-kernel dispatch decision for the ConvLSTM/graph/SE-sum call
     sites (None = XLA; False = compiled Pallas; True = interpret).  The
     batch >= 4 gate is measured (ConvLSTM 3x standalone at bs=8; video bs=1
     ~18% slower fused).  Multi-chip meshes are handled by shard_map over the
     data axis (ops/fused_dispatch.py) when the driver declares one via
     parallel.mesh.data_parallel_dispatch; CMPC_FUSED=off/interpret are the
-    debug overrides."""
+    debug overrides, CMPC_FUSED_<KERNEL> the per-surface ones."""
     from cmpc_refseg_tpu.ops.fused_dispatch import fused_mode
-    return fused_mode(x.shape[0], min_batch=min_batch)
+    return fused_mode(x.shape[0], min_batch=min_batch, kernel=kernel)
 
 
 def _convlstm_dispatch(p, x, c, h):
-    mode = _fused_mode(x)
+    mode = _fused_mode(x, kernel="convlstm")
     if mode is not None:
         import functools
         from cmpc_refseg_tpu.ops.fused_dispatch import shard_rows

@@ -35,13 +35,17 @@ from jax.sharding import PartitionSpec as P
 from cmpc_refseg_tpu.parallel.mesh import active_data_mesh
 
 
-def fused_mode(batch: Optional[int] = None,
-               min_batch: int = 1) -> Optional[bool]:
+def fused_mode(batch: Optional[int] = None, min_batch: int = 1,
+               kernel: Optional[str] = None) -> Optional[bool]:
     """None = use the XLA path; False = fused (compiled); True = fused in
     interpret mode.  `batch`/`min_batch`: the caller's profitability gate
     (measured: ConvLSTM/graph/SE-sum kernels win at batch >= 4, degenerate
-    below — see cmpc._use_fused_kernels history)."""
+    below — see cmpc._use_fused_kernels history).  `kernel`: name for a
+    per-kernel override env var CMPC_FUSED_<KERNEL> (same values as
+    CMPC_FUSED; used for A/B attribution of per-surface wins)."""
     env = os.environ.get("CMPC_FUSED", "auto").lower()
+    if kernel:
+        env = os.environ.get(f"CMPC_FUSED_{kernel.upper()}", env).lower()
     if env in ("off", "0") or os.environ.get("CMPC_DISABLE_FUSED"):
         return None
     if env == "interpret":

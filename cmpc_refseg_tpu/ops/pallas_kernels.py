@@ -239,7 +239,7 @@ def mutan_fused(x, w, b, lang, num_heads: int = 5):
     kernel is wrapped in shard_map over the data axis — batch-row-local.
     """
     from cmpc_refseg_tpu.ops.fused_dispatch import fused_mode, shard_rows
-    mode = fused_mode(x.shape[0])   # no batch gate: wins at every batch
+    mode = fused_mode(x.shape[0], kernel="mutan")  # no batch gate
     if mode is not None:
         fn = shard_rows(
             functools.partial(_mutan_fused_fwd, num_heads=num_heads,

@@ -156,6 +156,9 @@ def main():
         except Exception as e:
             results[name] = {"error": str(e)[:160]}
             print(f"| {name} | ERROR {str(e)[:80]} |", flush=True)
+        if args.out:   # incremental dump — timeouts keep partial results
+            with open(args.out, "w") as f:
+                json.dump(results, f, indent=2)
     if args.out:
         with open(args.out, "w") as f:
             json.dump(results, f, indent=2)
