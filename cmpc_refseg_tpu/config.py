@@ -20,6 +20,11 @@ class ModelConfig:
     Defaults follow the reference flagship model (CMPC_model.py:15-40).
     """
 
+    # Registry name of this variant ("" for hand-built configs).  Consulted
+    # by the fused-kernel dispatch table (ops/fused_dispatch.py) to apply
+    # measured per-variant small-batch winners automatically.
+    variant: str = ""
+
     # --- geometry -----------------------------------------------------------
     batch_size: int = 1
     num_steps: int = 20           # T: max text tokens (CMPC_model.py:16)
@@ -208,6 +213,9 @@ VARIANTS = {
         graph_norm="softmax_mask", text_encoder="lstm_frontpad",
         bbox_head=True),
 }
+
+# Stamp each registry entry with its own name (fused-dispatch table key).
+VARIANTS = {name: cfg.replace(variant=name) for name, cfg in VARIANTS.items()}
 
 
 def get_config(name: str, **overrides) -> ModelConfig:

@@ -19,6 +19,30 @@ from typing import Callable, Iterator, Optional, Sequence
 import numpy as np
 
 
+def _shard_length(num_samples: int, shard_count: int) -> int:
+    """Per-shard epoch length under multi-host striding.
+
+    The epoch permutation is TRIMMED to the largest multiple of
+    `shard_count` before striding so every process sees exactly the same
+    number of samples per epoch and re-draws the shared-seed permutation in
+    lockstep.  Without the trim, shards of a non-divisible dataset advance
+    epochs at different read counts and from the first epoch boundary on
+    stride DIFFERENT permutations — silently duplicating/skipping samples
+    across hosts (round-3 advisor finding)."""
+    n = num_samples - num_samples % shard_count
+    return n // shard_count
+
+
+def _validate_sharding(num_samples: int, shard_index: int, shard_count: int):
+    if not (0 <= shard_index < shard_count):
+        raise ValueError(f"shard_index {shard_index} out of range for "
+                         f"shard_count {shard_count}")
+    if _shard_length(num_samples, shard_count) == 0:
+        raise ValueError(
+            f"shard_count {shard_count} exceeds dataset size {num_samples}: "
+            "every shard's trimmed epoch would be empty")
+
+
 class PrefetchReader:
     """Generic sample reader: `load_fn(index) -> dict of np arrays`,
     shuffled per epoch, prefetched by daemon threads.
@@ -39,10 +63,12 @@ class PrefetchReader:
         process draws the SAME per-epoch permutation (same seed) and walks
         only its `shard_index::shard_count` stride of it, so the processes
         jointly cover each epoch exactly once with disjoint samples (the
-        per-process slice of SURVEY.md section 5.8's global batch)."""
-        if not (0 <= shard_index < shard_count):
-            raise ValueError(f"shard_index {shard_index} out of range for "
-                             f"shard_count {shard_count}")
+        per-process slice of SURVEY.md section 5.8's global batch).  When
+        num_samples is not divisible by shard_count, the trailing
+        ``num_samples % shard_count`` samples of each epoch's permutation
+        are dropped (standard multi-host trim) so all processes advance
+        epochs in lockstep."""
+        _validate_sharding(num_samples, shard_index, shard_count)
         self.num_samples = num_samples
         self.load_fn = load_fn
         self.shuffle = shuffle
@@ -65,7 +91,8 @@ class PrefetchReader:
     def _epoch_order(self) -> np.ndarray:
         order = (self._rng.permutation(self.num_samples) if self.shuffle
                  else np.arange(self.num_samples))
-        return order[self.shard_index::self.shard_count]
+        usable = self.num_samples - self.num_samples % self.shard_count
+        return order[:usable][self.shard_index::self.shard_count]
 
     def _feed_indices(self):
         order = self._epoch_order()
@@ -106,8 +133,7 @@ class PrefetchReader:
         if isinstance(sample, BaseException):
             raise RuntimeError(
                 f"prefetch worker failed: {sample!r}") from sample
-        local_n = len(range(self.shard_index, self.num_samples,
-                            self.shard_count))
+        local_n = _shard_length(self.num_samples, self.shard_count)
         self.n_batch = (self.n_batch + 1) % local_n
         self.n_epoch += (self.n_batch == 0)
         return sample
@@ -180,9 +206,7 @@ class ProcessPrefetchReader:
                  num_workers: int = 4, prefetch_num: int = 32, seed: int = 0,
                  shard_index: int = 0, shard_count: int = 1):
         import multiprocessing as mp
-        if not (0 <= shard_index < shard_count):
-            raise ValueError(f"shard_index {shard_index} out of range for "
-                             f"shard_count {shard_count}")
+        _validate_sharding(num_samples, shard_index, shard_count)
         ctx = mp.get_context("spawn")
         self.num_samples = num_samples
         self.shuffle = shuffle
@@ -205,7 +229,8 @@ class ProcessPrefetchReader:
     def _epoch_order(self) -> np.ndarray:
         order = (self._rng.permutation(self.num_samples) if self.shuffle
                  else np.arange(self.num_samples))
-        return order[self.shard_index::self.shard_count]
+        usable = self.num_samples - self.num_samples % self.shard_count
+        return order[:usable][self.shard_index::self.shard_count]
 
     def _feed(self):
         order = self._epoch_order()
@@ -220,8 +245,7 @@ class ProcessPrefetchReader:
         sample = self._out.get(block=True)
         if isinstance(sample, str) and sample.startswith("__error__"):
             raise RuntimeError(f"prefetch worker failed: {sample[9:]}")
-        local_n = len(range(self.shard_index, self.num_samples,
-                            self.shard_count))
+        local_n = _shard_length(self.num_samples, self.shard_count)
         self.n_batch = (self.n_batch + 1) % local_n
         self.n_epoch += (self.n_batch == 0)
         return sample

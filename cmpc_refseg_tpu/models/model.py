@@ -144,6 +144,13 @@ def apply_model(params, state, cfg: ModelConfig, batch: dict, *,
     """Forward pass.  batch: 'im' [B,H,W,3] (BGR, mean-subtracted), plus
     tokens ('words'+'seq_len' back-padded, or 'words'+'valid_idx'
     front-padded) or BERT features ('words_feat'+'sequence_mask')."""
+    from cmpc_refseg_tpu.ops.fused_dispatch import variant_dispatch
+    with variant_dispatch(cfg.variant):
+        return _apply_model_body(params, state, cfg, batch, train=train)
+
+
+def _apply_model_body(params, state, cfg: ModelConfig, batch: dict, *,
+                      train: bool = False):
     im = batch["im"]
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
 

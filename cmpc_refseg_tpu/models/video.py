@@ -139,6 +139,13 @@ def apply_video_model(params, state, cfg: ModelConfig, batch: dict, *,
                       train: bool = False):
     """batch: 'clip' [B,F16,H,W,3] BGR mean-sub, text fields.  The GT frame
     is the CENTER sampled frame (reference :69-78, gtf = index F//2)."""
+    from cmpc_refseg_tpu.ops.fused_dispatch import variant_dispatch
+    with variant_dispatch(cfg.variant):
+        return _apply_video_body(params, state, cfg, batch, train=train)
+
+
+def _apply_video_body(params, state, cfg: ModelConfig, batch: dict, *,
+                      train: bool = False):
     clip = batch["clip"]
     b = clip.shape[0]
     idx = jnp.asarray(cfg.sampled_frames)

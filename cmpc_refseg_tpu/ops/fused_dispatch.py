@@ -26,6 +26,7 @@ Mode control (``CMPC_FUSED`` env var):
 
 from __future__ import annotations
 
+import contextlib
 import os
 from typing import Optional
 
@@ -34,31 +35,94 @@ from jax.sharding import PartitionSpec as P
 
 from cmpc_refseg_tpu.parallel.mesh import active_data_mesh
 
+# Measured per-variant small-batch dispatch winners (LATENCY.json bs=1 A/B,
+# v5e-1, bf16, 320x320): for these variants CMPC_FUSED=on — all fused
+# kernels engaged even below the generic bs>=4 profitability gate — beat
+# `auto` by >3% at bs=1 (e.g. v2 3.98->3.06 ms, BiLSTM_T 3.42->2.59,
+# v5_BiLSTM 5.90->3.68).  `auto` now applies those winners by default; the
+# CMPC_FUSED[_<KERNEL>] env vars remain as overrides.  Variants measurably
+# better with the gated default (v4 3.01 vs 3.70 on, v5, BiLSTM_T2) and the
+# video model (fused trio costs ~11 clips/s at its internal b=1 spa-graph,
+# BASELINE.md reconciliation) are deliberately absent.
+SMALL_BATCH_FUSED_VARIANTS = frozenset({
+    "CMPC_model",
+    "CMPCv2_model",
+    "CMPCv3_model",
+    "CMPCv4_BiLSTM_T_model",
+    "CMPCv4_BERT_model",
+    "CMPCv5_BiLSTM_model",
+})
+
+_active_variant: Optional[str] = None
+
+
+@contextlib.contextmanager
+def variant_dispatch(name: str):
+    """Declare the model variant being traced so fused_mode can consult the
+    measured per-variant dispatch table (apply_model enters this around the
+    forward body; custom_vjp call sites cannot carry the config)."""
+    global _active_variant
+    prev = _active_variant
+    _active_variant = name or None
+    try:
+        yield
+    finally:
+        _active_variant = prev
+
+
+def _policy(env: str, platform: str, n_devices: int,
+            batch: Optional[int], min_batch: int,
+            variant: Optional[str],
+            data_axis_size: Optional[int]) -> Optional[bool]:
+    """Pure dispatch decision (unit-testable off-TPU).  Args mirror
+    fused_mode's runtime lookups; `data_axis_size` is the active
+    data-parallel mesh axis extent (None = no dispatch context)."""
+    if env == "interpret":
+        return True
+    if platform != "tpu":
+        return None
+    if env != "on" and batch is not None:
+        if data_axis_size is not None:
+            # The gate protects PER-DEVICE kernel profitability: under
+            # shard_map each device runs batch/axis rows (round-3 advisor:
+            # comparing the global batch silently ran the kernels in the
+            # measured-slower small-batch regime on large data meshes).
+            batch = max(1, batch // data_axis_size)
+        if (batch < min_batch
+                and variant not in SMALL_BATCH_FUSED_VARIANTS):
+            return None
+    if n_devices > 1 and data_axis_size is None:
+        # Multi-chip GSPMD without a declared data mesh: no partitioning
+        # rule exists for the custom calls, so the XLA path is the fast one.
+        return None
+    return False
+
 
 def fused_mode(batch: Optional[int] = None, min_batch: int = 1,
                kernel: Optional[str] = None) -> Optional[bool]:
     """None = use the XLA path; False = fused (compiled); True = fused in
     interpret mode.  `batch`/`min_batch`: the caller's profitability gate
     (measured: ConvLSTM/graph/SE-sum kernels win at batch >= 4, degenerate
-    below — see cmpc._use_fused_kernels history).  `kernel`: name for a
-    per-kernel override env var CMPC_FUSED_<KERNEL> (same values as
-    CMPC_FUSED; used for A/B attribution of per-surface wins)."""
+    below — see cmpc._use_fused_kernels history).  `batch` is the GLOBAL
+    batch at the call site; under an active data-parallel dispatch context
+    the gate compares the PER-DEVICE rows (batch / mesh data-axis size) —
+    that is what each device's kernel instance actually runs on.  Below the
+    gate, variants in SMALL_BATCH_FUSED_VARIANTS still run fused (measured
+    bs=1 winners — no env var needed).  `kernel`: name for a per-kernel
+    override env var CMPC_FUSED_<KERNEL> (same values as CMPC_FUSED; used
+    for A/B attribution of per-surface wins)."""
     env = os.environ.get("CMPC_FUSED", "auto").lower()
     if kernel:
         env = os.environ.get(f"CMPC_FUSED_{kernel.upper()}", env).lower()
     if env in ("off", "0") or os.environ.get("CMPC_DISABLE_FUSED"):
         return None
-    if env == "interpret":
-        return True
-    if jax.devices()[0].platform != "tpu":
-        return None
-    if env != "on" and batch is not None and batch < min_batch:
-        return None
-    if len(jax.devices()) > 1 and active_data_mesh() is None:
-        # Multi-chip GSPMD without a declared data mesh: no partitioning
-        # rule exists for the custom calls, so the XLA path is the fast one.
-        return None
-    return False
+    ctx = active_data_mesh()
+    axis_size = None
+    if ctx is not None:
+        mesh, axis = ctx
+        axis_size = mesh.shape[axis]
+    return _policy(env, jax.devices()[0].platform, len(jax.devices()),
+                   batch, min_batch, _active_variant, axis_size)
 
 
 def shard_rows(fn, in_batched, out_batched):

@@ -500,3 +500,53 @@ class TestFusedMutanBackward:
         bf16 quantization error — the documented precision trade for not
         materializing the f32 intermediate."""
         self._check(rng, res_dtype=jnp.bfloat16, rtol=0.05, atol=0.05)
+
+
+class TestDispatchTable:
+    """Round-4: `auto` applies the measured per-variant bs=1 winners
+    (LATENCY.json A/B) and gates on PER-DEVICE batch under a data mesh
+    (round-3 advisor low #4)."""
+
+    def test_auto_small_batch_winner_engages(self):
+        from cmpc_refseg_tpu.ops.fused_dispatch import _policy
+        # v2 at bs=1: measured on 3.06 vs auto 3.98 -> table forces fused
+        assert _policy("auto", "tpu", 1, 1, 4, "CMPCv2_model", None) is False
+
+    def test_auto_small_batch_non_winner_stays_xla(self):
+        from cmpc_refseg_tpu.ops.fused_dispatch import _policy
+        # v4 at bs=1: auto (gated) measured faster -> XLA below the gate
+        assert _policy("auto", "tpu", 1, 1, 4, "CMPCv4_model", None) is None
+        # video path's internal b=1 spa-graph: fused costs ~11 clips/s
+        assert _policy("auto", "tpu", 1, 1, 4,
+                       "CMPC_video_mm_tgraph_allvec", None) is None
+        assert _policy("auto", "tpu", 1, 1, 4, None, None) is None
+
+    def test_gate_uses_per_device_batch(self):
+        from cmpc_refseg_tpu.ops.fused_dispatch import _policy
+        # global batch 8 over an 8-way data mesh = 1 row/device: below the
+        # bs>=4 gate even though the global batch passes it
+        assert _policy("auto", "tpu", 8, 8, 4, None, 8) is None
+        # 32 over 8 devices = 4 rows/device: gate passes
+        assert _policy("auto", "tpu", 8, 32, 4, None, 8) is False
+
+    def test_on_overrides_gate(self):
+        from cmpc_refseg_tpu.ops.fused_dispatch import _policy
+        assert _policy("on", "tpu", 1, 1, 4, None, None) is False
+
+    def test_variant_context_reaches_fused_mode(self, monkeypatch):
+        from cmpc_refseg_tpu.ops import fused_dispatch as fd
+        monkeypatch.delenv("CMPC_FUSED", raising=False)
+        seen = {}
+        orig = fd._policy
+
+        def spy(env, platform, n_dev, batch, min_batch, variant, axis):
+            seen["variant"] = variant
+            return orig(env, platform, n_dev, batch, min_batch, variant,
+                        axis)
+
+        monkeypatch.setattr(fd, "_policy", spy)
+        with fd.variant_dispatch("CMPCv2_model"):
+            fd.fused_mode(1, min_batch=4, kernel="graph")
+        assert seen["variant"] == "CMPCv2_model"
+        fd.fused_mode(1, min_batch=4)
+        assert seen["variant"] is None

@@ -170,3 +170,41 @@ def test_reader_sharding_epoch_reshuffles():
     # permutation changes (overwhelmingly likely for n=8)
     assert len(set(ep1)) == n // 2 and len(set(ep2)) == n // 2
     assert r.n_epoch >= 1
+
+
+def test_reader_sharding_nondivisible_lockstep():
+    """Non-divisible dataset sizes (round-3 advisor medium): every shard
+    trims the shared permutation to an equal length, so across MANY epochs
+    the shards stay disjoint within each epoch and advance the shared-seed
+    permutation in lockstep (no cross-host duplicates/skips)."""
+    from cmpc_refseg_tpu.data.reader import PrefetchReader
+
+    n, shards, epochs = 10, 3, 4
+    per_shard = n // shards  # trimmed length
+
+    readers = [PrefetchReader(n, lambda i: {"i": np.asarray(i)},
+                              shuffle=True, seed=11, shard_index=s,
+                              shard_count=shards) for s in range(shards)]
+    for _ in range(epochs):
+        seen = [{int(r.read()["i"]) for _ in range(per_shard)}
+                for r in readers]
+        # disjoint within the epoch; jointly cover exactly 9 of 10 samples
+        assert sum(len(s) for s in seen) == shards * per_shard
+        union = set().union(*seen)
+        assert len(union) == shards * per_shard
+        for a in range(shards):
+            for b in range(a + 1, shards):
+                assert not (seen[a] & seen[b])
+    # epoch accounting uses the trimmed length
+    assert readers[0].n_epoch == epochs
+
+
+def test_reader_sharding_empty_shard_rejected():
+    """shard_count > num_samples raises immediately instead of deadlocking
+    the feeder thread (round-3 advisor low)."""
+    from cmpc_refseg_tpu.data.reader import PrefetchReader
+    import pytest
+
+    with pytest.raises(ValueError, match="exceeds dataset size"):
+        PrefetchReader(2, lambda i: {"i": np.asarray(i)}, shard_index=0,
+                       shard_count=3)
