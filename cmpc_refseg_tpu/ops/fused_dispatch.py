@@ -54,6 +54,23 @@ SMALL_BATCH_FUSED_VARIANTS = frozenset({
 })
 
 _active_variant: Optional[str] = None
+_force_xla_only = False
+
+
+@contextlib.contextmanager
+def xla_only_dispatch():
+    """Force the plain-XLA path for EVERY fused surface, overriding the
+    CMPC_FUSED[_<KERNEL>] env vars too.  Serving export traces under this
+    (serving/export.py): a Pallas `tpu_custom_call` baked into a
+    StableHLO/SavedModel artifact has undefined portability off the
+    exporting host, so exported artifacts must stay custom-call-free."""
+    global _force_xla_only
+    prev = _force_xla_only
+    _force_xla_only = True
+    try:
+        yield
+    finally:
+        _force_xla_only = prev
 
 
 @contextlib.contextmanager
@@ -111,6 +128,8 @@ def fused_mode(batch: Optional[int] = None, min_batch: int = 1,
     bs=1 winners — no env var needed).  `kernel`: name for a per-kernel
     override env var CMPC_FUSED_<KERNEL> (same values as CMPC_FUSED; used
     for A/B attribution of per-surface wins)."""
+    if _force_xla_only:
+        return None
     env = os.environ.get("CMPC_FUSED", "auto").lower()
     if kernel:
         env = os.environ.get(f"CMPC_FUSED_{kernel.upper()}", env).lower()

@@ -22,11 +22,19 @@ from cmpc_refseg_tpu.models.model import apply_model
 
 def make_predict_fn(cfg: ModelConfig, params, state):
     """(images, sentences, sequence_lengths) -> masks [B,H,W] sigmoid, the
-    export_model_serving.py:57-71 signature."""
+    export_model_serving.py:57-71 signature.
+
+    Traces under xla_only_dispatch: exported artifacts must be portable, so
+    the Pallas fast paths (TPU `tpu_custom_call`s pinned to the exporting
+    host's kernel binaries) are forced off regardless of ambient CMPC_FUSED
+    env vars — pinned by tests/test_serving.py."""
+    from cmpc_refseg_tpu.ops.fused_dispatch import xla_only_dispatch
+
     def predict(images, sentences, sequence_lengths):
         batch = {"im": images, "words": sentences,
                  "seq_len": sequence_lengths}
-        outputs, _ = apply_model(params, state, cfg, batch, train=False)
+        with xla_only_dispatch():
+            outputs, _ = apply_model(params, state, cfg, batch, train=False)
         return outputs.sigm[..., 0]
     return predict
 

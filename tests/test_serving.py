@@ -141,3 +141,38 @@ def test_quantized_calibrated_service(model, rng):
     prob_q, mask_q = svc_q.predict(img, "the dog")
     assert mask_q.shape == mask_f.shape
     assert np.mean(mask_q == mask_f) > 0.9
+
+
+def test_export_stays_portable(model, tmp_path, monkeypatch):
+    """Round-4 (VERDICT #10): export must trace the plain-XLA path even
+    when the ambient dispatch env demands fused kernels — a Pallas
+    tpu_custom_call baked into the artifact has undefined portability off
+    the exporting host.  Pin both ways: every fused_mode decision during
+    the export trace is the XLA branch, and the serialized StableHLO text
+    carries no custom_call."""
+    from cmpc_refseg_tpu.ops import fused_dispatch as fd
+
+    cfg, params, state = model
+    # interpret would otherwise engage the fused path on ANY platform
+    monkeypatch.setenv("CMPC_FUSED", "interpret")
+    monkeypatch.setenv("CMPC_FUSED_GRAPH", "interpret")
+    decisions = []
+    orig = fd.fused_mode
+
+    def spy(*a, **kw):
+        out = orig(*a, **kw)
+        decisions.append(out)
+        return out
+
+    monkeypatch.setattr(fd, "fused_mode", spy)
+    path = os.path.join(str(tmp_path), "pinned.stablehlo")
+    export_stablehlo(cfg, params, state, path)
+    assert decisions, "export trace never consulted the dispatch policy"
+    assert all(d is None for d in decisions), decisions
+
+    exported = load_stablehlo(path)
+    text = exported.mlir_module()
+    # match the op token, not the bare substring (MLIR debug locs
+    # embed caller function names)
+    assert "stablehlo.custom_call" not in text
+    assert "tpu_custom_call" not in text
