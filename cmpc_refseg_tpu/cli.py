@@ -186,8 +186,8 @@ def run_train(args):
     val_fn = None
     if args.val_meta and args.dataset == "refvos":
         from cmpc_refseg_tpu.train.evaluator import evaluate_sharded
-        from cmpc_refseg_tpu.train.optimizer import merge_params
-        from cmpc_refseg_tpu.train.trainer import prepare_image_batch
+        from cmpc_refseg_tpu.train.trainer import (prepare_image_batch,
+                                                   state_params)
         val_reader = RefVOSReader(
             im_dir=args.im_dir, mask_dir=args.mask_dir,
             metadata_path=args.val_meta, vocab_path=args.vocab,
@@ -198,7 +198,7 @@ def run_train(args):
                 for _ in range(args.val_batches):
                     yield prepare_image_batch(
                         val_reader.read_collated(cfg.batch_size), cfg)
-            params = merge_params(st.trainable, st.frozen)
+            params = state_params(st)
             res = evaluate_sharded(cfg, params, st.model_state, batches(),
                                    mesh=mesh)
             print(f"[val] overall IoU {res['overall_iou']:.4f} "
@@ -254,9 +254,8 @@ def run_test(args):
         except FileNotFoundError:
             print("[warn] no checkpoint found; evaluating random init")
     from cmpc_refseg_tpu.models.model import prepare_params
-    from cmpc_refseg_tpu.train.optimizer import merge_params
-    params = jax.device_put(prepare_params(
-        merge_params(state.trainable, state.frozen), cfg))
+    from cmpc_refseg_tpu.train.trainer import state_params
+    params = jax.device_put(prepare_params(state_params(state), cfg))
     samples = npz_eval_samples(args.data_folder, args.dataset, args.split,
                                cfg)
     visualize_fn = None

@@ -35,9 +35,8 @@ def make_video_train_step(cfg):
     from cmpc_refseg_tpu.models.video import apply_video_model
     from cmpc_refseg_tpu.train.optimizer import (make_optimizer, merge_params,
                                                  polynomial_lr)
-    from cmpc_refseg_tpu.train.trainer import TrainState
+    from cmpc_refseg_tpu.train.trainer import TrainState, trainable_tree
 
-    from jax.flatten_util import ravel_pytree
     from cmpc_refseg_tpu.train.optimizer import scale_bias_grads_tree
     opt = make_optimizer(cfg, flat=True)
 
@@ -51,17 +50,19 @@ def make_video_train_step(cfg):
     @partial(jax.jit, donate_argnums=(0,))
     def step(state, batch):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        # flat-in-state layout (trainer.Unravel docstring): params are
+        # slice views of one vector, gradients concat ONCE, Adam + the add
+        # run on the contiguous vector
         (_, (metrics, new_ms)), grads = grad_fn(
-            state.trainable, state.frozen, state.model_state, batch)
-        # flat Adam over one raveled vector (trainer.make_train_step note)
+            trainable_tree(state), state.frozen, state.model_state, batch)
         grads = scale_bias_grads_tree(grads)
-        flat_g, _ = ravel_pytree(grads)
-        flat_p, unravel = ravel_pytree(state.trainable)
-        updates, new_opt = opt.update(flat_g, state.opt_state, flat_p)
-        new_tr = unravel(flat_p + updates)
+        flat_g = state.unravel.ravel(grads)
+        updates, new_opt = opt.update(flat_g, state.opt_state,
+                                      state.trainable)
         metrics["learning_rate"] = polynomial_lr(cfg)(state.step)
-        return TrainState(new_tr, state.frozen, new_ms, new_opt,
-                          state.step + 1), metrics
+        return TrainState(state.trainable + updates, state.frozen, new_ms,
+                          new_opt, state.step + 1,
+                          unravel=state.unravel), metrics
 
     return step
 
@@ -70,17 +71,16 @@ def create_video_train_state(seed, cfg, glove=None):
     import jax
     from cmpc_refseg_tpu.models.video import init_video_model
     from cmpc_refseg_tpu.train.optimizer import make_optimizer, partition_params
-    from cmpc_refseg_tpu.train.trainer import TrainState
+    from cmpc_refseg_tpu.train.trainer import TrainState, flatten_trainable
     import jax.numpy as jnp
 
-    from jax.flatten_util import ravel_pytree
     params, model_state = init_video_model(jax.random.PRNGKey(seed), cfg,
                                            glove)
     trainable, frozen = partition_params(params, cfg)
+    flat, unravel = flatten_trainable(trainable)
     opt = make_optimizer(cfg, flat=True)
-    return TrainState(trainable, frozen, model_state,
-                      opt.init(ravel_pytree(trainable)[0]),
-                      jnp.zeros((), jnp.int32))
+    return TrainState(flat, frozen, model_state, opt.init(flat),
+                      jnp.zeros((), jnp.int32), unravel=unravel)
 
 
 def evaluate_a2d(cfg, params, model_state, sample_iter, *,
@@ -190,12 +190,11 @@ def main(argv=None):
                     save_checkpoint(args.ckpt_dir, state, it + 1)
     else:
         from cmpc_refseg_tpu.train.checkpoint import restore_checkpoint
-        from cmpc_refseg_tpu.train.optimizer import merge_params
+        from cmpc_refseg_tpu.train.trainer import state_params
         from cmpc_refseg_tpu.models.model import prepare_params
         state = create_video_train_state(0, cfg, glove)
         state = restore_checkpoint(args.ckpt_dir, state)
-        params = jax.device_put(prepare_params(
-            merge_params(state.trainable, state.frozen), cfg))
+        params = jax.device_put(prepare_params(state_params(state), cfg))
 
         def samples():
             for _ in range(reader.num_samples):

@@ -205,7 +205,7 @@ def main(argv=None):
     from cmpc_refseg_tpu.cli import load_glove
     from cmpc_refseg_tpu.config import get_config
     from cmpc_refseg_tpu.train.checkpoint import restore_checkpoint
-    from cmpc_refseg_tpu.train.optimizer import merge_params
+    from cmpc_refseg_tpu.train.trainer import state_params
     from cmpc_refseg_tpu.train.trainer import create_train_state
 
     on_tpu = any(d.platform == "tpu" for d in jax.devices())
@@ -214,7 +214,7 @@ def main(argv=None):
     glove = load_glove(args.emb_dir, args.emb_name)
     state = create_train_state(jax.random.PRNGKey(0), cfg, glove)
     state = restore_checkpoint(args.ckpt_dir, state)
-    params = merge_params(state.trainable, state.frozen)
+    params = state_params(state)
     n = run_inference(cfg, params, state.model_state, meta_path=args.meta,
                       im_dir=args.im_dir, out_dir=args.out_dir,
                       vocab_path=args.vocab, threshold=args.threshold,

@@ -87,7 +87,8 @@ def apply_mutan(params, lang_feat, spatial_feat, visual_feat,
     'pad' view (model.prepare_params, inference flows), the lane-aligned
     fast path is used — no in-jit padding at all."""
     from cmpc_refseg_tpu.ops.fused_dispatch import fused_mode, shard_rows
-    from cmpc_refseg_tpu.ops.pallas_kernels import (mutan_fused,
+    from cmpc_refseg_tpu.ops.pallas_kernels import (_bf16_tanh_enabled,
+                                                    mutan_fused,
                                                     mutan_fused_padded)
     nh = num_heads
     b, h, w, c_vis = visual_feat.shape
@@ -105,7 +106,8 @@ def apply_mutan(params, lang_feat, spatial_feat, visual_feat,
                                 "biases": pad["lang_b"]}, lang_feat))
         fn = shard_rows(
             functools.partial(mutan_fused_padded, num_heads=nh, c=c_vis,
-                              interpret=mode),
+                              interpret=mode,
+                              bf16_tanh=_bf16_tanh_enabled(dt)),
             in_batched=(True, False, False, True), out_batched=True)
         out = fn(vis_in.reshape(b, h * w, kp), pad["w_wide"], pad["b_pad"],
                  lang.reshape(b, -1))

@@ -76,9 +76,25 @@ def pad_mutan_params(vis_trans: dict, lang_trans: dict, num_heads: int = 5,
     }
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "c", "interpret"))
+def _bf16_tanh_enabled(dtype) -> bool:
+    """bf16 tanh chain gate: the mutan epilogue is VPU-tanh-bound (profiled
+    0.81 ms/level, round-3 block breakdown), and the VPU runs packed bf16
+    transcendentals at 2x the f32 rate.  The output is bf16 anyway (same
+    mantissa budget), and the head-sum accumulator stays f32, so the extra
+    rounding is one ulp-of-bf16 per tanh — validated against the f32 chain
+    by tests/test_pallas.py.  Env override CMPC_MUTAN_TANH=f32 restores the
+    exact chain (A/B and debugging)."""
+    import os
+    if os.environ.get("CMPC_MUTAN_TANH", "").lower() == "f32":
+        return False
+    return dtype == jnp.bfloat16
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "c", "interpret",
+                                             "bf16_tanh"))
 def mutan_fused_padded(x, w_wide, b_pad, lang_pad, *, num_heads: int,
-                       c: int, interpret: bool = False):
+                       c: int, interpret: bool = False,
+                       bf16_tanh: bool = False):
     """Fast path with pre-padded weights: x [B,N,Kp] (already lane-aligned),
     w_wide [Kp, H*Cp], b_pad [H,Cp], lang_pad [B,H*Cp] -> [B,N,c]."""
     bsz, n, kp = x.shape
@@ -93,6 +109,7 @@ def mutan_fused_padded(x, w_wide, b_pad, lang_pad, *, num_heads: int,
     cap = max(8, (budget // max(per_row, 1)) // 8 * 8)
     tm = _pick_tm(n, min(256, cap))
     rows_per_b = n
+    tanh = _tanh_fn(bf16_tanh)
 
     def kern(x_ref, w_ref, b_ref, l_ref, o_ref):
         part = jnp.dot(x_ref[:, :], w_ref[:, :],
@@ -100,8 +117,8 @@ def mutan_fused_padded(x, w_wide, b_pad, lang_pad, *, num_heads: int,
         acc = jnp.zeros((tm, cp), jnp.float32)
         for h in range(num_heads):
             seg = part[:, h * cp:(h + 1) * cp] + b_ref[h, :]
-            acc = acc + jnp.tanh(seg) * l_ref[0, h, :]
-        y = jnp.tanh(acc)
+            acc = acc + tanh(seg) * l_ref[0, h, :]
+        y = tanh(acc)
         sq = jnp.sum(y * y, axis=-1, keepdims=True)
         o_ref[:, :] = (y * jax.lax.rsqrt(jnp.maximum(sq, 1e-12))
                        ).astype(o_ref.dtype)
@@ -123,6 +140,14 @@ def mutan_fused_padded(x, w_wide, b_pad, lang_pad, *, num_heads: int,
     return out[:, :c].reshape(bsz, n, c)
 
 
+def _tanh_fn(bf16: bool):
+    """f32->f32 tanh, optionally evaluated at bf16 precision (packed VPU,
+    2x rate; see _bf16_tanh_enabled)."""
+    if not bf16:
+        return jnp.tanh
+    return lambda v: jnp.tanh(v.astype(jnp.bfloat16)).astype(jnp.float32)
+
+
 def _pick_tm(rows_per_b: int, cap: int) -> int:
     """Largest multiple-of-8 divisor of rows_per_b not exceeding cap (a tile
     must not straddle batch elements — the lang block is selected per tile)."""
@@ -133,9 +158,10 @@ def _pick_tm(rows_per_b: int, cap: int) -> int:
     return best or rows_per_b
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret",
+                                             "bf16_tanh"))
 def _mutan_fused_fwd(x, w, b, lang, *, num_heads: int = 5,
-                     interpret: bool = False):
+                     interpret: bool = False, bf16_tanh: bool = False):
     """x [B,N,K] (bf16/f32), w [K, H*C], b [H*C] f32, lang [B,H*C] ->
     [B,N,C] l2-normalized fused feature (x dtype).
 
@@ -178,6 +204,7 @@ def _mutan_fused_fwd(x, w, b, lang, *, num_heads: int = 5,
     cap = max(8, (budget // max(per_row, 1)) // 8 * 8)
     tm = _pick_tm(n, min(256, cap))
     rows_per_b = n
+    tanh = _tanh_fn(bf16_tanh)
 
     def kern(x_ref, w_ref, b_ref, l_ref, o_ref):
         part = jnp.dot(x_ref[:, :], w_ref[:, :],
@@ -185,8 +212,8 @@ def _mutan_fused_fwd(x, w, b, lang, *, num_heads: int = 5,
         acc = jnp.zeros((tm, cp), jnp.float32)
         for h in range(num_heads):
             seg = part[:, h * cp:(h + 1) * cp] + b_ref[h, :]
-            acc = acc + jnp.tanh(seg) * l_ref[0, h, :]
-        y = jnp.tanh(acc)
+            acc = acc + tanh(seg) * l_ref[0, h, :]
+        y = tanh(acc)
         sq = jnp.sum(y * y, axis=-1, keepdims=True)
         o_ref[:, :] = (y * jax.lax.rsqrt(jnp.maximum(sq, 1e-12))
                        ).astype(o_ref.dtype)
@@ -243,7 +270,8 @@ def mutan_fused(x, w, b, lang, num_heads: int = 5):
     if mode is not None:
         fn = shard_rows(
             functools.partial(_mutan_fused_fwd, num_heads=num_heads,
-                              interpret=mode),
+                              interpret=mode,
+                              bf16_tanh=_bf16_tanh_enabled(x.dtype)),
             in_batched=(True, False, False, True), out_batched=True)
         return fn(x, w, b, lang)
     return _mutan_reference(x, w, b, lang, num_heads)

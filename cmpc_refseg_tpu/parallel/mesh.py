@@ -136,6 +136,18 @@ def tp_shardings(tree, mesh: Mesh, *, axis: str = "model",
     Apply to params/optimizer state with ``jax.device_put(tree,
     tp_shardings(tree, mesh))``; jit then infers shardings from inputs.
     """
+    return jax.tree.map(tp_leaf_rule(mesh, axis=axis, min_dim=min_dim),
+                        tree)
+
+
+def tp_leaf_rule(mesh: Mesh, *, axis: str = "model", min_dim: int = 512):
+    """Leaf -> NamedSharding rule behind tp_shardings, reusable as a
+    trace-time constraint: `make_train_step(cfg, tp_rule=tp_leaf_rule(mesh))`
+    applies it to every unraveled weight inside the step
+    (jax.lax.with_sharding_constraint), which is how the flat-trainable
+    layout expresses tensor parallelism — the master vector stays
+    ZeRO-sharded while the compute-time weight views partition their output
+    channels over 'model'."""
     if axis not in mesh.axis_names:
         raise ValueError(f"mesh has no {axis!r} axis: {mesh.axis_names}")
     size = mesh.shape[axis]
@@ -148,4 +160,4 @@ def tp_shardings(tree, mesh: Mesh, *, axis: str = "model",
             return NamedSharding(mesh, P(*spec))
         return NamedSharding(mesh, P())
 
-    return jax.tree.map(leaf_sharding, tree)
+    return leaf_sharding

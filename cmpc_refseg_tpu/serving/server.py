@@ -159,7 +159,7 @@ def main(argv=None):
     from cmpc_refseg_tpu.config import get_config
     from cmpc_refseg_tpu.data.text import load_vocab_dict_from_file
     from cmpc_refseg_tpu.train.checkpoint import restore_checkpoint
-    from cmpc_refseg_tpu.train.optimizer import merge_params
+    from cmpc_refseg_tpu.train.trainer import state_params
     from cmpc_refseg_tpu.train.trainer import create_train_state
     from cmpc_refseg_tpu.utils.compile_cache import enable
 
@@ -170,7 +170,7 @@ def main(argv=None):
     glove = load_glove(args.emb_dir, args.emb_name)
     state = create_train_state(jax.random.PRNGKey(0), cfg, glove)
     state = restore_checkpoint(args.ckpt_dir, state)
-    params = merge_params(state.trainable, state.frozen)
+    params = state_params(state)
     service = PredictService(cfg, params, state.model_state,
                              load_vocab_dict_from_file(args.vocab),
                              quantize=args.quantize)

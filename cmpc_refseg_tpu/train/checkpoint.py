@@ -35,7 +35,14 @@ def latest_step(directory: str) -> Optional[int]:
 
 def restore_checkpoint(directory: str, target: Any,
                        step: Optional[int] = None) -> Any:
-    """Restore into the structure of `target` (a TrainState or pytree)."""
+    """Restore into the structure of `target` (a TrainState or pytree).
+
+    Checkpoints written before the flat-trainable TrainState layout
+    (trainable as a param PYTREE — round <= 3 — and, older still, per-leaf
+    Adam moments) are migrated on the fly: the trainable tree is flattened
+    in tree order into the target's flat vector, flat Adam moments carry
+    over, and per-leaf moments are re-initialized (documented loss: a warm
+    start forgets optimizer momentum)."""
     import orbax.checkpoint as ocp
     mgr = _manager(directory)
     step = step if step is not None else mgr.latest_step()
@@ -44,4 +51,51 @@ def restore_checkpoint(directory: str, target: Any,
     abstract = jax.tree.map(
         lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype)
         if not isinstance(x, jax.ShapeDtypeStruct) else x, target)
-    return mgr.restore(step, args=ocp.args.StandardRestore(abstract))
+    try:
+        return mgr.restore(step, args=ocp.args.StandardRestore(abstract))
+    except Exception:
+        raw = mgr.restore(step)     # structure as saved (nested dicts)
+        return _migrate_legacy_state(raw, target)
+
+
+def _migrate_legacy_state(raw: Any, target: Any) -> Any:
+    """Map a pre-flat-layout TrainState checkpoint onto `target`'s
+    structure.  Raises if `raw` is not a recognizable TrainState dict or
+    the parameter count mismatches (a genuinely incompatible checkpoint)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    if not (isinstance(raw, dict) and "trainable" in raw
+            and hasattr(target, "trainable")):
+        raise ValueError("unrecognized checkpoint layout (expected a "
+                         "TrainState with a 'trainable' entry)")
+    tr = raw["trainable"]
+    if isinstance(tr, dict):     # legacy: trainable saved as a pytree
+        leaves = jax.tree_util.tree_leaves(tr)
+        flat = jnp.concatenate([jnp.ravel(jnp.asarray(l)) for l in leaves])
+    else:
+        flat = jnp.asarray(tr)
+    want = int(np.prod(np.shape(target.trainable)))
+    if flat.size != want:
+        raise ValueError(f"checkpoint has {flat.size} trainable params, "
+                         f"model needs {want}")
+    # Adam moments: carry over iff already flat with matching size;
+    # otherwise (per-leaf legacy layout) keep target's fresh init.
+    opt_state = target.opt_state
+    try:
+        def pick(t_leaf, r_leaf):
+            r = jnp.asarray(r_leaf)
+            return r if r.shape == np.shape(t_leaf) else t_leaf
+        opt_state = jax.tree.map(pick, target.opt_state, raw["opt_state"])
+    except Exception:
+        print("[restore] legacy per-leaf optimizer state: re-initializing "
+              "Adam moments (params warm-started)", flush=True)
+    return dataclasses.replace(
+        target, trainable=flat,
+        frozen=jax.tree.map(lambda t, r: jnp.asarray(r), target.frozen,
+                            raw["frozen"]),
+        model_state=jax.tree.map(lambda t, r: jnp.asarray(r),
+                                 target.model_state, raw["model_state"]),
+        opt_state=opt_state,
+        step=jnp.asarray(raw.get("step", target.step)))

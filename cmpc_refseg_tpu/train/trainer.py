@@ -26,29 +26,115 @@ from cmpc_refseg_tpu.train.optimizer import (make_optimizer, merge_params,
                                              partition_params, polynomial_lr)
 
 
-@jax.tree_util.register_dataclass
+class Unravel:
+    """Static flatten spec for the trainable pytree: rebuilds the parameter
+    tree from trace-time SLICES of one flat vector.
+
+    Lives on TrainState as a METADATA field (not a pytree leaf), so the
+    train step can keep parameters flat in the state — Adam and the update
+    add run on one contiguous vector, and the per-step ravel of ~300
+    gradient leaves plus unravel of the updated tree (measured ~9-10 ms of
+    the 48.3 ms round-3 step, pure layout traffic) is gone.  Inside jit the
+    slices are views XLA fuses into their consumers.
+
+    Hash/eq are by spec so two states built from the same config share a
+    treedef (no spurious retraces)."""
+
+    def __init__(self, treedef, shapes, dtypes):
+        self.treedef = treedef
+        self.shapes = tuple(tuple(s) for s in shapes)
+        self.dtypes = tuple(jnp.dtype(d) for d in dtypes)
+        sizes = [int(np.prod(s)) if s else 1 for s in self.shapes]
+        self.offsets = tuple(np.cumsum([0] + sizes).tolist())
+        self.size = self.offsets[-1]
+
+    def __call__(self, flat):
+        leaves = [
+            flat[self.offsets[i]:self.offsets[i + 1]]
+            .reshape(self.shapes[i]).astype(self.dtypes[i])
+            for i in range(len(self.shapes))]
+        return jax.tree_util.tree_unflatten(self.treedef, leaves)
+
+    def ravel(self, tree):
+        """Inverse: pytree -> flat vector (same leaf order as __call__)."""
+        leaves = jax.tree_util.tree_leaves(tree)
+        return jnp.concatenate(
+            [jnp.ravel(l).astype(self.dtypes[0]) for l in leaves])
+
+    def _spec(self):
+        return (self.treedef, self.shapes, self.dtypes)
+
+    def __eq__(self, other):
+        return (isinstance(other, Unravel)
+                and self._spec() == other._spec())
+
+    def __hash__(self):
+        return hash((self.shapes, self.dtypes))
+
+
+def flatten_trainable(tree):
+    """-> (flat f32 vector, Unravel)."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    shapes = [np.shape(l) for l in leaves]
+    dtypes = [np.asarray(l).dtype if not hasattr(l, "dtype") else l.dtype
+              for l in leaves]
+    unravel = Unravel(treedef, shapes, dtypes)
+    flat = jnp.concatenate([jnp.ravel(jnp.asarray(l)) for l in leaves])
+    return flat, unravel
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["trainable", "frozen", "model_state", "opt_state",
+                      "step"],
+         meta_fields=["unravel"])
 @dataclasses.dataclass
 class TrainState:
-    """Full training state (a pytree; orbax-checkpointable)."""
+    """Full training state (a pytree; orbax-checkpointable).
+
+    `trainable` is ONE flat f32 vector (see Unravel); `unravel` is the
+    static spec rebuilding the parameter pytree from it.  Use
+    `trainable_tree(state)` / `state_params(state)` for the tree views."""
     trainable: Any
     frozen: Any
     model_state: Any          # BN moving stats
     opt_state: Any
     step: jnp.ndarray
+    unravel: Any = None
+
+
+def trainable_tree(state: TrainState):
+    """The trainable parameter PYTREE of a state (flat or legacy layout)."""
+    if state.unravel is not None and getattr(state.trainable, "ndim", 0) == 1:
+        return state.unravel(state.trainable)
+    return state.trainable
+
+
+def state_params(state: TrainState) -> dict:
+    """Full merged model params of a TrainState."""
+    return merge_params(trainable_tree(state), state.frozen)
+
+
+def replace_trainable(state: TrainState, tree) -> TrainState:
+    """New state with the trainable pytree replaced (re-flattened).  The
+    tree must match the state's structure (checkpoint converters, tests)."""
+    flat, unravel = flatten_trainable(tree)
+    if state.unravel is not None and unravel != state.unravel:
+        raise ValueError("trainable structure mismatch")
+    return dataclasses.replace(state, trainable=flat, unravel=unravel)
 
 
 def create_train_state(key, cfg: ModelConfig, glove=None) -> TrainState:
-    from jax.flatten_util import ravel_pytree
     params, model_state = init_model(key, cfg, glove)
     trainable, frozen = partition_params(params, cfg)
-    # Adam state lives over ONE raveled vector (optimizer.make_optimizer
-    # flat=True docstring: the per-leaf update was launch-bound at ~300
-    # leaves, 12.3 ms/step on v5e)
+    # Params + Adam state live over ONE flat vector (Unravel docstring;
+    # the per-leaf update was launch-bound at ~300 leaves, 12.3 ms/step on
+    # v5e, and the round-3 ravel-per-step layout cost another ~9-10 ms)
+    flat, unravel = flatten_trainable(trainable)
     opt = make_optimizer(cfg, flat=True)
-    opt_state = opt.init(ravel_pytree(trainable)[0])
-    return TrainState(trainable=trainable, frozen=frozen,
+    opt_state = opt.init(flat)
+    return TrainState(trainable=flat, frozen=frozen,
                       model_state=model_state, opt_state=opt_state,
-                      step=jnp.zeros((), jnp.int32))
+                      step=jnp.zeros((), jnp.int32), unravel=unravel)
 
 
 def brightness_aug(key, im: jnp.ndarray, max_delta: float = 0.2) -> jnp.ndarray:
@@ -59,13 +145,19 @@ def brightness_aug(key, im: jnp.ndarray, max_delta: float = 0.2) -> jnp.ndarray:
     return im + delta
 
 
-def make_train_step(cfg: ModelConfig) -> Callable:
+def make_train_step(cfg: ModelConfig, tp_rule: Optional[Callable] = None
+                    ) -> Callable:
     """Returns jitted (state, batch) -> (state, metrics).
 
     batch: {'im' [B,H,W,3] f32 BGR-mean-sub, 'target' [B,H,W,1] f32,
     text fields per encoder}.  B is the GLOBAL batch.
+
+    tp_rule: optional leaf -> NamedSharding rule
+    (parallel.mesh.tp_leaf_rule) constraining every unraveled weight view
+    inside the step — tensor parallelism over the 'model' mesh axis on top
+    of the ZeRO-style flat master vector (SURVEY section 5.7: shard the big
+    fusion/graph matmuls when resolution rises).
     """
-    from jax.flatten_util import ravel_pytree
     from cmpc_refseg_tpu.train.optimizer import scale_bias_grads_tree
     opt = make_optimizer(cfg, flat=True)
 
@@ -91,16 +183,25 @@ def make_train_step(cfg: ModelConfig) -> Callable:
     def train_step(state: TrainState, batch: dict):
         rng = jax.random.fold_in(jax.random.PRNGKey(42), state.step)
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        # Params stay FLAT in the state: unravel to trace-time slice views
+        # for the forward (XLA fuses them into their consumers); gradients
+        # come back as a tree with the same structure and concatenate ONCE.
+        tr_tree = trainable_tree(state)
+        if tp_rule is not None:
+            tr_tree = jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(x, tp_rule(x)),
+                tr_tree)
         (_, (metrics, new_model_state)), grads = grad_fn(
-            state.trainable, state.frozen, state.model_state, batch, rng)
-        # Flat update: bias x2 on the pytree (fuses into the grad kernels),
-        # then ravel once — Adam + the parameter add run on a single big
-        # vector instead of ~300 leaves (launch-bound: 12.3 ms -> ~1 ms).
+            tr_tree, state.frozen, state.model_state, batch, rng)
+        # bias x2 on the pytree (fuses into the grad kernels), then one
+        # concat — Adam + the parameter add run on a single big vector
+        # instead of ~300 leaves (launch-bound: 12.3 ms -> ~1 ms), with no
+        # param ravel / update unravel (round-3's ~9-10 ms layout tax).
         grads = scale_bias_grads_tree(grads)
-        flat_g, _ = ravel_pytree(grads)
-        flat_p, unravel = ravel_pytree(state.trainable)
-        updates, new_opt_state = opt.update(flat_g, state.opt_state, flat_p)
-        new_trainable = unravel(flat_p + updates)
+        flat_g = state.unravel.ravel(grads)
+        updates, new_opt_state = opt.update(flat_g, state.opt_state,
+                                            state.trainable)
+        new_trainable = state.trainable + updates
         # Under grad accumulation the Adam schedule advances once per
         # UPDATE, not per micro-step: read MultiSteps' gradient_step (the
         # inner update count) so the logged LR is the one Adam applies.
@@ -109,7 +210,7 @@ def make_train_step(cfg: ModelConfig) -> Callable:
         new_state = TrainState(
             trainable=new_trainable, frozen=state.frozen,
             model_state=new_model_state, opt_state=new_opt_state,
-            step=state.step + 1)
+            step=state.step + 1, unravel=state.unravel)
         return new_state, metrics
 
     return train_step

@@ -9,7 +9,7 @@ import numpy as np
 
 from cmpc_refseg_tpu.config import get_config
 from cmpc_refseg_tpu.models.model import apply_model
-from cmpc_refseg_tpu.train.optimizer import merge_params
+from cmpc_refseg_tpu.train.trainer import state_params
 from cmpc_refseg_tpu.train.trainer import create_train_state, make_train_step
 
 RED, BLUE = 3, 4
@@ -50,7 +50,7 @@ def test_model_learns_referring_grounding(rng):
     assert float(metrics["train_mIoU"]) > 0.4
 
     # grounding: SAME image, different expression -> different mask
-    params = merge_params(state.trainable, state.frozen)
+    params = state_params(state)
     im = np.zeros((32, 32, 3), np.float32)
     im[3:13, 3:13, 0] = 120.0
     im[19:29, 19:29, 2] = 120.0

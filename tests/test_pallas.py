@@ -42,6 +42,35 @@ def test_mutan_kernel_bf16_interpret(rng):
                                rtol=0.1, atol=0.05)
 
 
+def test_mutan_bf16_tanh_chain_parity(rng):
+    """bf16-evaluated tanh chain (the 2x-VPU-rate head epilogue, round-4
+    head-perf work) vs the exact f32 chain: the output is bf16 either way,
+    so the extra error budget is ~1 bf16 ulp per tanh with an f32 head-sum
+    accumulator."""
+    from cmpc_refseg_tpu.ops.pallas_kernels import _bf16_tanh_enabled
+    nh, n, k, c = 5, 64, 40, 32
+    x = jnp.asarray(rng.standard_normal((2, n, k)), jnp.bfloat16)
+    w = jnp.asarray(0.1 * rng.standard_normal((k, nh * c)), jnp.float32)
+    b = jnp.asarray(0.1 * rng.standard_normal((nh * c,)), jnp.float32)
+    lang = jnp.asarray(rng.standard_normal((2, nh * c)), jnp.bfloat16)
+    exact = _mutan_fused_fwd(x, w, b, lang, num_heads=nh, interpret=True,
+                             bf16_tanh=False)
+    fast = _mutan_fused_fwd(x, w, b, lang, num_heads=nh, interpret=True,
+                            bf16_tanh=True)
+    np.testing.assert_allclose(np.asarray(fast, np.float32),
+                               np.asarray(exact, np.float32),
+                               rtol=0.05, atol=0.03)
+    # default gate: on for bf16, off for f32, env-overridable
+    assert _bf16_tanh_enabled(jnp.bfloat16)
+    assert not _bf16_tanh_enabled(jnp.float32)
+    import os
+    os.environ["CMPC_MUTAN_TANH"] = "f32"
+    try:
+        assert not _bf16_tanh_enabled(jnp.bfloat16)
+    finally:
+        del os.environ["CMPC_MUTAN_TANH"]
+
+
 def test_mutan_grad_flows(rng):
     nh, n, k, c = 5, 16, 8, 8
     x = jnp.asarray(rng.standard_normal((1, n, k)), jnp.float32)

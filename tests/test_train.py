@@ -447,3 +447,117 @@ def test_flat_optimizer_matches_per_leaf_path():
                     jax.tree.leaves(upd_flat_tree)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-9)
+
+
+class TestFlatTrainState:
+    """Round-4 layout: trainable params live as ONE flat vector in the
+    state (trainer.Unravel); these pin the layout, its exact parity with
+    the round-3 ravel-per-step semantics, and legacy checkpoint
+    migration."""
+
+    def test_flat_layout_roundtrip(self):
+        from cmpc_refseg_tpu.models.model import init_model
+        from cmpc_refseg_tpu.train.trainer import (state_params,
+                                                   trainable_tree)
+        cfg = get_config("CMPC_model", **TINY)
+        state = create_train_state(jax.random.PRNGKey(0), cfg)
+        assert state.trainable.ndim == 1
+        params, _ = init_model(jax.random.PRNGKey(0), cfg)
+        tr, fr = partition_params(params, cfg)
+        tree = trainable_tree(state)
+        assert jax.tree.all(jax.tree.map(
+            lambda a, b: np.array_equal(a, b), tr, tree))
+        merged = state_params(state)
+        assert jax.tree.all(jax.tree.map(
+            lambda a, b: np.array_equal(a, b), params, merged))
+
+    def test_flat_step_matches_ravel_per_step_semantics(self, rng):
+        """One flat-state train step must produce EXACTLY the parameters of
+        the round-3 path (grads -> bias x2 -> ravel_pytree -> flat Adam ->
+        unravel), proving the layout change is a pure rewrite."""
+        from jax.flatten_util import ravel_pytree
+        from cmpc_refseg_tpu.train.optimizer import scale_bias_grads_tree
+        from cmpc_refseg_tpu.train.trainer import (device_image_prologue,
+                                                   trainable_tree)
+        from cmpc_refseg_tpu.models.model import apply_model, compute_loss
+        cfg = get_config("CMPC_model", **TINY)
+        state = create_train_state(jax.random.PRNGKey(0), cfg)
+        step_fn = make_train_step(cfg)
+        batch = make_batch(cfg, rng)
+
+        # reference computation (round-3 semantics), replicated exactly
+        tr_tree = trainable_tree(state)
+
+        def loss_fn(tr):
+            b = device_image_prologue(dict(batch))
+            rng_key = jax.random.fold_in(jax.random.PRNGKey(42), state.step)
+            if cfg.is_aug:
+                from cmpc_refseg_tpu.train.trainer import brightness_aug
+                b["im"] = brightness_aug(rng_key, b["im"])
+            out, _ = apply_model(merge_params(tr, state.frozen),
+                                 state.model_state, cfg, b, train=True)
+            total, _ = compute_loss(out, b["target"], cfg,
+                                    merge_params(tr, state.frozen))
+            return total
+
+        grads = jax.grad(loss_fn)(tr_tree)
+        flat_g, _ = ravel_pytree(scale_bias_grads_tree(grads))
+        flat_p, unravel = ravel_pytree(tr_tree)
+        opt = make_optimizer(cfg, flat=True)
+        opt_state = opt.init(flat_p)
+        upd, _ = opt.update(np.asarray(flat_g), opt_state,
+                            np.asarray(flat_p))
+        want = np.asarray(flat_p) + np.asarray(upd)
+
+        new_state, _ = step_fn(state, batch)
+        got = np.asarray(new_state.trainable)
+        # Parameters whose true gradient is ~0 (e.g. softmax key biases,
+        # whose uniform logit shift cancels exactly) carry only rounding
+        # noise, which first-step Adam normalizes to an arbitrary-sign
+        # update of up to lr — in BOTH paths.  Compare exactly where the
+        # gradient is resolved; bound the noise-dominated rest by 2*lr.
+        g = np.abs(np.asarray(flat_g))
+        resolved = g > 1e-5
+        assert resolved.mean() > 0.5
+        np.testing.assert_allclose(got[resolved], want[resolved],
+                                   rtol=1e-6, atol=1e-8)
+        assert np.abs(got - want).max() <= 2.1 * cfg.start_lr
+
+    def test_unravel_identity_stable_across_states(self):
+        """Two states from the same config share treedef (no retraces)."""
+        cfg = get_config("CMPC_model", **TINY)
+        s1 = create_train_state(jax.random.PRNGKey(0), cfg)
+        s2 = create_train_state(jax.random.PRNGKey(1), cfg)
+        assert s1.unravel == s2.unravel
+        assert (jax.tree_util.tree_structure(s1)
+                == jax.tree_util.tree_structure(s2))
+
+    def test_legacy_tree_checkpoint_migrates(self, tmp_path, rng):
+        """A round-3-layout checkpoint (trainable saved as a pytree, flat
+        Adam) restores into the flat state: params land in tree order,
+        flat moments carry over, step preserved (ADVICE r3: no silent
+        structure-mismatch failure)."""
+        from cmpc_refseg_tpu.train.checkpoint import (restore_checkpoint,
+                                                      save_checkpoint)
+        from cmpc_refseg_tpu.train.trainer import trainable_tree
+        cfg = get_config("CMPC_model", **TINY)
+        state = create_train_state(jax.random.PRNGKey(3), cfg)
+        # fabricate the old on-disk layout: same fields, tree trainable
+        legacy = {
+            "trainable": jax.tree.map(np.asarray, trainable_tree(state)),
+            "frozen": jax.tree.map(np.asarray, state.frozen),
+            "model_state": jax.tree.map(np.asarray, state.model_state),
+            "opt_state": jax.tree.map(np.asarray, state.opt_state),
+            "step": np.asarray(7, np.int32),
+        }
+        save_checkpoint(str(tmp_path), legacy, 7)
+
+        fresh = create_train_state(jax.random.PRNGKey(0), cfg)
+        restored = restore_checkpoint(str(tmp_path), fresh)
+        np.testing.assert_array_equal(np.asarray(restored.trainable),
+                                      np.asarray(state.trainable))
+        assert int(restored.step) == 7
+        # restored state must train
+        step_fn = make_train_step(cfg)
+        _, metrics = step_fn(restored, make_batch(cfg, rng))
+        assert np.isfinite(float(metrics["loss_cls_all"]))

@@ -113,9 +113,8 @@ def main(argv=None):
     from cmpc_refseg_tpu.config import get_config
     from cmpc_refseg_tpu.data.image import IMAGE_MEAN_BGR
     from cmpc_refseg_tpu.models.model import apply_model
-    from cmpc_refseg_tpu.train.optimizer import merge_params
     from cmpc_refseg_tpu.train.trainer import (create_train_state,
-                                               make_train_step)
+                                               make_train_step, state_params)
 
     on_tpu = any(d.platform == "tpu" for d in jax.devices())
     geo = dict(H=64, W=64, res4_blocks=2, rnn_size=64, v_emb_dim=64,
@@ -142,8 +141,7 @@ def main(argv=None):
     step_fn = make_train_step(cfg)
 
     @jax.jit
-    def eval_fwd(trainable, frozen, mstate, batch):
-        params = merge_params(trainable, frozen)
+    def eval_fwd(params, mstate, batch):
         out, _ = apply_model(params, mstate, cfg, batch, train=False)
         return out.up[..., 0] >= 1e-9
 
@@ -155,7 +153,7 @@ def main(argv=None):
             idx = np.arange(args.pool + s, args.pool + s + bs)
             batch = {"im": prep_im(ims[idx]), "words": toks[idx],
                      "seq_len": lens[idx]}
-            pred = np.asarray(eval_fwd(state.trainable, state.frozen,
+            pred = np.asarray(eval_fwd(state_params(state),
                                        state.model_state, batch))
             gt = masks[idx]
             inter += np.logical_and(pred, gt).sum()

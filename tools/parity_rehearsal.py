@@ -118,17 +118,20 @@ def convert_and_checkpoint(ckpt_path: str, workdir: str) -> str:
 
     from tools.convert_tf_checkpoint import convert
 
+    import dataclasses
+
     from cmpc_refseg_tpu.train.checkpoint import save_checkpoint
     from cmpc_refseg_tpu.train.optimizer import partition_params
-    from cmpc_refseg_tpu.train.trainer import create_train_state
+    from cmpc_refseg_tpu.train.trainer import (create_train_state,
+                                               replace_trainable)
 
     cfg, params, model_state = convert(ckpt_path, "CMPC_model",
                                        overrides=TINY)
     state = create_train_state(jax.random.PRNGKey(0), cfg)
     trainable, frozen = partition_params(params, cfg)
-    state = type(state)(trainable=trainable, frozen=frozen,
-                       model_state=model_state, opt_state=state.opt_state,
-                       step=state.step)
+    state = replace_trainable(state, trainable)
+    state = dataclasses.replace(state, frozen=frozen,
+                                model_state=model_state)
     ckpt_dir = os.path.join(workdir, "converted_ckpt")
     save_checkpoint(ckpt_dir, state, 0)
     return ckpt_dir

@@ -180,7 +180,8 @@ def main(argv=None):
         # through the image with a tiny loss feedback term.
         from cmpc_refseg_tpu.train.optimizer import make_optimizer
         from cmpc_refseg_tpu.train.trainer import (create_train_state,
-                                                   make_train_step)
+                                                   make_train_step,
+                                                   trainable_tree)
         tstate = create_train_state(jax.random.PRNGKey(0), cfg)
         step_fn = make_train_step(cfg)
         tb = {
@@ -206,8 +207,9 @@ def main(argv=None):
         @jax.jit
         def fwd_only(tr, fr, ms, x):
             return x + (loss_of(tr, fr, ms, x) * 1e-20).astype(x.dtype)
+        tr_tree = trainable_tree(tstate)
         report("train fwd only (w/ loss)",
-               lambda x: fwd_only(tstate.trainable, tstate.frozen,
+               lambda x: fwd_only(tr_tree, tstate.frozen,
                                   tstate.model_state, x), im0)
 
         @jax.jit
@@ -217,24 +219,22 @@ def main(argv=None):
             return x + (loss * 1e-20).astype(x.dtype) \
                 + (jnp.sum(g0.astype(jnp.float32)) * 1e-20).astype(x.dtype)
         report("train fwd+bwd (no adam)",
-               lambda x: fwd_bwd(tstate.trainable, tstate.frozen,
+               lambda x: fwd_bwd(tr_tree, tstate.frozen,
                                  tstate.model_state, x), im0)
 
-        # optimizer update alone on zero grads (adam math + ravel traffic —
-        # the production flat path; the per-leaf chain measured 12.3 ms)
-        from jax.flatten_util import ravel_pytree
+        # optimizer update alone on zero grads — the flat-in-state
+        # production path: one grad-tree concat + Adam + the parameter add
+        # on a single contiguous vector (per-leaf chain measured 12.3 ms;
+        # round-3's ravel-per-step layout cost another ~9-10 ms)
         opt = make_optimizer(cfg, flat=True)
-        zeros = jax.tree.map(jnp.zeros_like, tstate.trainable)
+        zeros = jax.tree.map(jnp.zeros_like, tr_tree)
+        unravel = tstate.unravel
 
         @jax.jit
-        def adam_only(opt_state, grads, params):
-            fg, _ = ravel_pytree(grads)
-            fp, unravel = ravel_pytree(params)
-            upd, new_os = opt.update(fg, opt_state, fp)
-            new_tree = unravel(fp + upd)
-            # touch every unraveled leaf so the slice-out cost is measured
-            s = sum(jnp.sum(l.astype(jnp.float32))
-                    for l in jax.tree.leaves(new_tree))
+        def adam_only(opt_state, grads, flat_p):
+            fg = unravel.ravel(grads)
+            upd, new_os = opt.update(fg, opt_state, flat_p)
+            s = jnp.sum(flat_p + upd)
             return jax.tree.map(
                 lambda x: x + (s * 0).astype(x.dtype)
                 if jnp.issubdtype(x.dtype, jnp.floating) else x, new_os)

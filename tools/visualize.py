@@ -94,7 +94,7 @@ def main():
     from cmpc_refseg_tpu.cli import make_config, npz_eval_samples
     from cmpc_refseg_tpu.models.model import apply_model
     from cmpc_refseg_tpu.train.checkpoint import restore_checkpoint
-    from cmpc_refseg_tpu.train.optimizer import merge_params
+    from cmpc_refseg_tpu.train.trainer import state_params
     from cmpc_refseg_tpu.train.trainer import create_train_state
 
     args.batch_size, args.num_steps, args.H, args.W = 1, 20, 320, 320
@@ -103,7 +103,7 @@ def main():
     cfg, _ = make_config(args)
     state = create_train_state(jax.random.PRNGKey(0), cfg)
     state = restore_checkpoint(args.ckpt_dir, state)
-    params = merge_params(state.trainable, state.frozen)
+    params = state_params(state)
 
     fwd = jax.jit(lambda p, s, b: apply_model(p, s, cfg, b)[0])
     for i, sample in enumerate(npz_eval_samples(
