@@ -77,17 +77,20 @@ def pad_mutan_params(vis_trans: dict, lang_trans: dict, num_heads: int = 5,
 
 
 def _bf16_tanh_enabled(dtype) -> bool:
-    """bf16 tanh chain gate: the mutan epilogue is VPU-tanh-bound (profiled
-    0.81 ms/level, round-3 block breakdown), and the VPU runs packed bf16
-    transcendentals at 2x the f32 rate.  The output is bf16 anyway (same
-    mantissa budget), and the head-sum accumulator stays f32, so the extra
-    rounding is one ulp-of-bf16 per tanh — validated against the f32 chain
-    by tests/test_pallas.py.  Env override CMPC_MUTAN_TANH=f32 restores the
-    exact chain (A/B and debugging)."""
+    """bf16 tanh chain gate — MEASURED ANTI-WIN on v5e, default OFF.
+
+    Hypothesis (VERDICT r3 #5i): the mutan epilogue is VPU-tanh-bound, and
+    packed bf16 transcendentals run 2x f32.  Measured (2026-08-21, v5e-1,
+    bs=8 320x320): standalone kernel A/Bs were noise-dominated through the
+    tunnel (0.117-0.808 ms for the SAME kernel across sessions), and the
+    full-model A/B showed NO win (f32 548.7 vs bf16 542.8 masks/s) — v5e's
+    VPU evidently does not run bf16 tanh faster.  The exact f32 chain stays
+    the default; CMPC_MUTAN_TANH=bf16 keeps the fast-chain path alive for
+    A/B on other TPU generations (parity pinned by
+    tests/test_pallas.py::test_mutan_bf16_tanh_chain_parity)."""
     import os
-    if os.environ.get("CMPC_MUTAN_TANH", "").lower() == "f32":
-        return False
-    return dtype == jnp.bfloat16
+    return (os.environ.get("CMPC_MUTAN_TANH", "").lower() == "bf16"
+            and dtype == jnp.bfloat16)
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "c", "interpret",
@@ -282,7 +285,13 @@ def _use_fused_mutan_bwd(x) -> bool:
     multi-chip GSPMD train path keeps the XLA vjp (dW/db/dlang are batch
     REDUCTIONS — not row-local, so the shard_map wrap used for inference
     does not apply), as do f32 runs (the resident W + dW scratch would
-    blow the VMEM budget at f32)."""
+    blow the VMEM budget at f32).  CMPC_MUTAN_FUSED_BWD=off forces the
+    exact XLA vjp while leaving every OTHER dispatch untouched — the
+    controlled A/B for the bf16-residual approximation
+    (tools/convergence_ab.py, VERDICT r3 #1)."""
+    import os
+    if os.environ.get("CMPC_MUTAN_FUSED_BWD", "").lower() in ("off", "0"):
+        return False
     from cmpc_refseg_tpu.ops.fused_dispatch import fused_mode
     from cmpc_refseg_tpu.parallel.mesh import active_data_mesh
     return (fused_mode(x.shape[0]) is False and active_data_mesh() is None
