@@ -187,6 +187,7 @@ def _apply_video_body(params, state, cfg: ModelConfig, batch: dict, *,
 
     fusions, up_levels, gw = {}, {}, {}
     center = f // 2
+    per_level = {}
     for lv in cfg.levels:
         p = params["levels"][lv]
         lat = l2_normalize(conv2d(params["laterals"][lv], vis[lv]), -1)
@@ -203,10 +204,20 @@ def _apply_video_body(params, state, cfg: ModelConfig, batch: dict, *,
         center_mm = mm_frames[:, center]
 
         ctx = _temp_ctx(p, cfg, center_mm, frame_vecs)
-        sgraph, gw[lv] = cmpc.apply_spa_graph(
-            p["graph"], cfg, center_mm, text.words_feat, words_parse,
-            text.seq_mask)
+        per_level[lv] = (center_vis, center_mm, ctx)
 
+    # spatial graph for ALL levels in one set of packed kernel launches
+    # (cmpc.apply_spa_graph_grouped — the b=1 spa-graph was the measured
+    # small-batch profitability hole, VERDICT r3 #6)
+    sgraphs, gw_list = cmpc.apply_spa_graph_grouped(
+        [params["levels"][lv]["graph"] for lv in cfg.levels], cfg,
+        [per_level[lv][1] for lv in cfg.levels], text.words_feat,
+        words_parse, text.seq_mask)
+
+    for lv, sgraph, gw_lv in zip(cfg.levels, sgraphs, gw_list):
+        p = params["levels"][lv]
+        center_vis, center_mm, ctx = per_level[lv]
+        gw[lv] = gw_lv
         dt = center_vis.dtype
         lang_tiled = jnp.broadcast_to(valid.astype(dt),
                                       (b, h, w, valid.shape[-1]))

@@ -817,11 +817,20 @@ def _graph_msg_call(w_aff, pooled, *, bsz, n, c, t, tiles, interpret=False):
 
 def _graph_update_call(x2, msg, stats, w, b, g1, b1, *, bsz, n, c, tiles,
                        interpret=False):
-    """x2/msg [B*N, C]; stats [B,8,128] (LN1); w [C, C]; b [1, C] bias;
-    g1/b1 [1, C] LN1 affine -> z [B*N, C] + stats2 [B, 8, 128]."""
+    """x2/msg [B*N, C]; stats [B,8,128] (LN1); w [C,C] or grouped [G,C,C]
+    (row i uses group i // (B//G) — level packing); b [1,C] / [G,1,C] bias;
+    g1/b1 LN1 affine likewise -> z [B*N, C] + stats2 [B, 8, 128]."""
     tm = n // tiles
     cnt = float(n * c)
     from jax.experimental.pallas import tpu as pltpu
+
+    if w.ndim == 2:
+        w = w[None]
+        b = b.reshape(1, 1, c)
+        g1 = g1.reshape(1, 1, c)
+        b1 = b1.reshape(1, 1, c)
+    groups = w.shape[0]
+    bpg = bsz // groups
 
     def kern(x_ref, m_ref, s_ref, w_ref, b_ref, g_ref, be_ref,
              z_ref, s2_ref, acc_ref):
@@ -832,10 +841,11 @@ def _graph_update_call(x2, msg, stats, w, b, g1, b1, *, bsz, n, c, tiles,
             acc_ref[...] = jnp.zeros_like(acc_ref)
 
         mln = _ln_from_stats(m_ref[...], s_ref[0, 0], s_ref[0, 1],
-                             g_ref[0], be_ref[0], cnt).astype(x_ref.dtype)
+                             g_ref[0, 0], be_ref[0, 0], cnt
+                             ).astype(x_ref.dtype)
         y = jax.nn.relu(x_ref[...] + mln)
-        z = (jnp.dot(y, w_ref[...], preferred_element_type=jnp.float32)
-             ).astype(z_ref.dtype) + b_ref[0]
+        z = (jnp.dot(y, w_ref[0], preferred_element_type=jnp.float32)
+             ).astype(z_ref.dtype) + b_ref[0, 0]
         z_ref[...] = z
         _stats_rows(acc_ref, 0, z.astype(jnp.float32))
 
@@ -850,10 +860,10 @@ def _graph_update_call(x2, msg, stats, w, b, g1, b1, *, bsz, n, c, tiles,
             pl.BlockSpec((tm, c), lambda bi, ti: (bi * tiles + ti, 0)),
             pl.BlockSpec((tm, c), lambda bi, ti: (bi * tiles + ti, 0)),
             pl.BlockSpec((1, 8, 128), lambda bi, ti: (bi, 0, 0)),
-            pl.BlockSpec((c, c), lambda bi, ti: (0, 0)),
-            pl.BlockSpec((1, c), lambda bi, ti: (0, 0)),
-            pl.BlockSpec((1, c), lambda bi, ti: (0, 0)),
-            pl.BlockSpec((1, c), lambda bi, ti: (0, 0)),
+            pl.BlockSpec((1, c, c), lambda bi, ti: (bi // bpg, 0, 0)),
+            pl.BlockSpec((1, 1, c), lambda bi, ti: (bi // bpg, 0, 0)),
+            pl.BlockSpec((1, 1, c), lambda bi, ti: (bi // bpg, 0, 0)),
+            pl.BlockSpec((1, 1, c), lambda bi, ti: (bi // bpg, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((tm, c), lambda bi, ti: (bi * tiles + ti, 0)),
@@ -874,6 +884,11 @@ def graph_conv_fused(gp, x_nodes, w_aff, v_aff, *, interpret=False):
     x_nodes [B,N,C]; w_aff/v_aff [B,N,T] (f32 affinities).  Matches the XLA
     reference: msg = w_aff @ (v_aff^T @ x) -> LN -> relu(x+.) -> 1x1 conv
     -> LN -> relu, with whole-sample layer norms.
+
+    `gp` is one param dict, or a LIST of G dicts for the level-packed path
+    (VERDICT r3 #6): then B = G*rows and batch row i uses params
+    i // (B//G).  Packing levels multiplies the grid (small-batch tiles run
+    near-empty at the video path's internal b=1).
     """
     bsz, n, c = x_nodes.shape
     dt = x_nodes.dtype
@@ -892,10 +907,15 @@ def graph_conv_fused(gp, x_nodes, w_aff, v_aff, *, interpret=False):
         wa.reshape(bsz * n, t), pooled.reshape(bsz, t, c),
         bsz=bsz, n=n, c=c, t=t, tiles=tiles, interpret=interpret)
 
-    w = gp["update"]["DW"][0, 0].astype(dt)
-    b = gp["update"]["biases"].reshape(1, c).astype(dt)
-    g1 = gp["feat_ln"]["gamma"].reshape(1, c).astype(jnp.float32)
-    b1 = gp["feat_ln"]["beta"].reshape(1, c).astype(jnp.float32)
+    gps = gp if isinstance(gp, (list, tuple)) else [gp]
+    groups = len(gps)
+    w = jnp.stack([g["update"]["DW"][0, 0] for g in gps]).astype(dt)
+    b = jnp.stack([g["update"]["biases"] for g in gps]
+                  ).reshape(groups, 1, c).astype(dt)
+    g1 = jnp.stack([g["feat_ln"]["gamma"] for g in gps]
+                   ).reshape(groups, 1, c).astype(jnp.float32)
+    b1 = jnp.stack([g["feat_ln"]["beta"] for g in gps]
+                   ).reshape(groups, 1, c).astype(jnp.float32)
     z, stats2 = _graph_update_call(
         x_nodes.reshape(bsz * n, c), msg, stats1, w, b, g1, b1,
         bsz=bsz, n=n, c=c, tiles=tiles, interpret=interpret)
@@ -909,8 +929,11 @@ def graph_conv_fused(gp, x_nodes, w_aff, v_aff, *, interpret=False):
     var = jnp.maximum(s_ss / cnt - m * m, 0.0)
     inv = jax.lax.rsqrt(var + _LN_EPS)[:, None, None]
     zf = z.reshape(bsz, n, c).astype(jnp.float32)
-    out = ((zf - m[:, None, None]) * inv * gp["update_ln"]["gamma"]
-           + gp["update_ln"]["beta"])
+    g2 = jnp.repeat(jnp.stack([g["update_ln"]["gamma"] for g in gps]),
+                    bsz // groups, axis=0)[:, None, :]
+    be2 = jnp.repeat(jnp.stack([g["update_ln"]["beta"] for g in gps]),
+                     bsz // groups, axis=0)[:, None, :]
+    out = (zf - m[:, None, None]) * inv * g2 + be2
     return jax.nn.relu(out).astype(dt)
 
 
@@ -931,13 +954,20 @@ def graph_conv_fused(gp, x_nodes, w_aff, v_aff, *, interpret=False):
 
 def spa_affinity_fused(x2, wg, bg, wt, rel, mask, *, scale: float,
                        l2n: bool, masked_softmax: bool, interpret=False):
-    """x2 [B,N,C] (compute dtype); wg [C,A]; bg [A]; wt [B,T,A] (already
+    """x2 [B,N,C] (compute dtype); wg [C,A] or GROUPED [G,C,A] (then B must
+    be G*rows and row i uses weight group i // (B//G) — the level-packing
+    path, VERDICT r3 #6); bg [A] / [G,A]; wt [B,T,A] (already
     l2-normalized when the config asks); rel/mask [B,1,T] f32.
     Returns (w_aff, v_aff) [B,N,T] f32 — cmpc._spa_affinity_xla parity."""
     bsz, n, c = x2.shape
     t = wt.shape[1]
     a = wg.shape[-1]
     dt = x2.dtype
+    if wg.ndim == 2:
+        wg = wg[None]
+        bg = bg.reshape(1, a)
+    groups = wg.shape[0]
+    bpg = bsz // groups
     tiles = 1
     for cand in (4, 2, 1):
         if n % cand == 0 and (n // cand) % 8 == 0:
@@ -950,7 +980,7 @@ def spa_affinity_fused(x2, wg, bg, wt, rel, mask, *, scale: float,
 
     xf = x2.reshape(bsz * n, c)
     wgd = wg.astype(dt)
-    bgd = bg.reshape(1, a).astype(dt)
+    bgd = bg.reshape(groups, 1, a).astype(dt)
     wtd = wt.astype(dt)
     relf = rel.astype(jnp.float32)
     maskf = mask.astype(jnp.float32)
@@ -964,9 +994,9 @@ def spa_affinity_fused(x2, wg, bg, wt, rel, mask, *, scale: float,
             acc_ref[0:1, :] = jnp.full((1, t), neg, jnp.float32)
             acc_ref[1:2, :] = jnp.zeros((1, t), jnp.float32)
 
-        gt = (jnp.dot(x_ref[...], wg_ref[...],
+        gt = (jnp.dot(x_ref[...], wg_ref[0],
                       preferred_element_type=jnp.float32).astype(dt)
-              + bg_ref[0])
+              + bg_ref[0, 0])
         if l2n:
             gf = gt.astype(jnp.float32)
             sq = jnp.sum(gf * gf, axis=-1, keepdims=True)
@@ -1008,8 +1038,8 @@ def spa_affinity_fused(x2, wg, bg, wt, rel, mask, *, scale: float,
         grid=(bsz, tiles),
         in_specs=[
             pl.BlockSpec((tm, c), lambda b, ti: (b * tiles + ti, 0)),
-            pl.BlockSpec((c, a), lambda b, ti: (0, 0)),
-            pl.BlockSpec((1, a), lambda b, ti: (0, 0)),
+            pl.BlockSpec((1, c, a), lambda b, ti: (b // bpg, 0, 0)),
+            pl.BlockSpec((1, 1, a), lambda b, ti: (b // bpg, 0, 0)),
             pl.BlockSpec((1, t, a), lambda b, ti: (b, 0, 0)),
             pl.BlockSpec((1, 1, t), lambda b, ti: (b, 0, 0)),
             pl.BlockSpec((1, 1, t), lambda b, ti: (b, 0, 0)),

@@ -580,3 +580,94 @@ class TestDispatchTable:
         assert seen["variant"] == "CMPCv2_model"
         fd.fused_mode(1, min_batch=4)
         assert seen["variant"] is None
+
+
+class TestGroupedSpaGraph:
+    """Level-packed spa-graph (VERDICT r3 #6): grouped kernels must equal G
+    independent per-level calls, in the XLA fallback AND in interpret mode
+    (the exact TPU dispatch), and gradients must flow."""
+
+    def _inputs(self, rng, g_n=3, b=1, n=64, c=32, a=24, t=6):
+        import jax.numpy as jnp
+        x = jnp.asarray(rng.standard_normal((g_n * b, n, c)), jnp.float32)
+        wgs = jnp.asarray(0.2 * rng.standard_normal((g_n, c, a)), jnp.float32)
+        bgs = jnp.asarray(0.1 * rng.standard_normal((g_n, a)), jnp.float32)
+        wt = jnp.asarray(rng.standard_normal((g_n * b, t, a)), jnp.float32)
+        rel = jnp.asarray(rng.random((g_n * b, 1, t)), jnp.float32)
+        mask = jnp.asarray((rng.random((g_n * b, 1, t)) > 0.3
+                            ).astype(np.float32))
+        # ensure at least one valid word per row
+        mask = mask.at[:, :, 0].set(1.0)
+        return x, wgs, bgs, wt, rel, mask
+
+    def test_grouped_affinity_matches_per_level(self, rng, monkeypatch):
+        from cmpc_refseg_tpu.models.cmpc import (_spa_affinity_xla,
+                                                 spa_affinity_grouped)
+        x, wgs, bgs, wt, rel, mask = self._inputs(rng)
+        scale = 32.0 ** 0.5
+        w_g, v_g = spa_affinity_grouped(x, wgs, bgs, wt, rel, mask,
+                                        scale, False, True)
+        for g in range(3):
+            w_1, v_1 = _spa_affinity_xla(x[g:g + 1], wgs[g], bgs[g],
+                                         wt[g:g + 1], rel[g:g + 1],
+                                         mask[g:g + 1], scale=scale,
+                                         l2n=False, masked_softmax=True)
+            np.testing.assert_allclose(np.asarray(w_g[g:g + 1]),
+                                       np.asarray(w_1), rtol=2e-5,
+                                       atol=2e-5)
+            np.testing.assert_allclose(np.asarray(v_g[g:g + 1]),
+                                       np.asarray(v_1), rtol=2e-5,
+                                       atol=2e-5)
+        # interpret mode exercises the packed kernel itself
+        monkeypatch.setenv("CMPC_FUSED", "interpret")
+        w_k, v_k = spa_affinity_grouped(x, wgs, bgs, wt, rel, mask,
+                                        scale, False, True)
+        np.testing.assert_allclose(np.asarray(w_k), np.asarray(w_g),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(v_k), np.asarray(v_g),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_grouped_graph_conv_matches_per_level(self, rng, monkeypatch):
+        import jax.numpy as jnp
+        from cmpc_refseg_tpu.models.cmpc import (_graph_conv,
+                                                 graph_conv_grouped)
+        g_n, b, n, c, t = 3, 1, 64, 32, 6
+        x = jnp.asarray(rng.standard_normal((g_n * b, n, c)), jnp.float32)
+        w_aff = jnp.asarray(rng.random((g_n * b, n, t)), jnp.float32)
+        v_aff = jnp.asarray(rng.random((g_n * b, n, t)), jnp.float32)
+        gps = []
+        for g in range(g_n):
+            gps.append({
+                "update": {"DW": jnp.asarray(
+                    0.2 * rng.standard_normal((1, 1, c, c)), jnp.float32),
+                    "biases": jnp.asarray(0.1 * rng.standard_normal((c,)),
+                                          jnp.float32)},
+                "feat_ln": {"gamma": jnp.ones((c,)) + 0.1 * g,
+                            "beta": jnp.zeros((c,)) + 0.05 * g},
+                "update_ln": {"gamma": jnp.ones((c,)) - 0.1 * g,
+                              "beta": jnp.zeros((c,)) - 0.02 * g},
+            })
+        got = graph_conv_grouped(tuple(gps), x, w_aff, v_aff)
+        for g in range(g_n):
+            want = _graph_conv(gps[g], x[g:g + 1], w_aff[g:g + 1],
+                               v_aff[g:g + 1])
+            np.testing.assert_allclose(np.asarray(got[g:g + 1]),
+                                       np.asarray(want), rtol=2e-5,
+                                       atol=2e-5)
+        monkeypatch.setenv("CMPC_FUSED", "interpret")
+        got_k = graph_conv_grouped(tuple(gps), x, w_aff, v_aff)
+        np.testing.assert_allclose(np.asarray(got_k), np.asarray(got),
+                                   rtol=5e-3, atol=5e-3)
+
+    def test_grouped_affinity_grad_flows(self, rng):
+        from cmpc_refseg_tpu.models.cmpc import spa_affinity_grouped
+        x, wgs, bgs, wt, rel, mask = self._inputs(rng, n=16, c=8, a=8)
+
+        def loss(wgs):
+            w, v = spa_affinity_grouped(x, wgs, bgs, wt, rel, mask,
+                                        8.0 ** 0.5, False, True)
+            return jnp.sum(w * w) + jnp.sum(v)
+
+        g = jax.grad(loss)(wgs)
+        assert np.all(np.isfinite(np.asarray(g)))
+        assert float(jnp.abs(g).max()) > 0
