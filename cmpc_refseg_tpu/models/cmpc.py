@@ -373,8 +373,19 @@ def apply_spa_graph_grouped(params_list, cfg, spa_graphs, words_feat,
     Semantics identical to G independent apply_spa_graph calls (pinned by
     tests/test_pallas.py grouped parity tests).  The double-softmax variant
     (T2) keeps the per-level path."""
+    from cmpc_refseg_tpu.parallel.mesh import active_data_mesh
     g_n = len(params_list)
-    if cfg.graph_norm == "double_softmax" or g_n == 1:
+    if (cfg.graph_norm == "double_softmax" or g_n == 1
+            or active_data_mesh() is not None
+            or spa_graphs[0].shape[0] > 2):
+        # Per-level when: multi-chip (the per-level path shards via
+        # shard_rows over the data axis; the packed group-major layout
+        # would split groups across devices), or per-level batch > 2 —
+        # MEASURED: packing at bs=8 costs 546 -> 513 masks/s (the
+        # stack/slice HBM copies outweigh the launch savings, same
+        # mechanism as the level-batched-einsum anti-win), while at the
+        # b=1 small-batch regime it WINS (video 102.1 -> 112.2 clips/s:
+        # near-empty grids gain the xG factor).
         outs = [apply_spa_graph(p, cfg, sg, words_feat, words_parse,
                                 seq_mask)
                 for p, sg in zip(params_list, spa_graphs)]
@@ -487,13 +498,39 @@ def apply_lang2vis(params, cfg, visual_feat, words_feat, words_parse,
     vis_la_sp = apply_mutan(params["mutan"], valid, spatial, visual_feat)
     graph_feat, gw = apply_spa_graph(params["graph"], cfg, vis_la_sp,
                                      words_feat, words_parse, seq_mask)
+    fusion = _lang2vis_fuse(params, cfg, vis_la_sp, graph_feat, valid,
+                            spatial, words_feat, words_parse)
+    return fusion, gw
+
+
+def apply_lang2vis_multi(params_list, cfg, visuals, words_feat, words_parse,
+                         seq_mask, spatial):
+    """apply_lang2vis for ALL levels with the spa-graph phase level-packed
+    (apply_spa_graph_grouped: one set of kernel launches, xG grid —
+    VERDICT r3 #6).  Identical math to per-level calls (pinned by
+    tests/test_pallas.py::test_lang2vis_multi_matches_per_level).
+    Returns (list of fusions, list of gw)."""
+    valid = valid_lang_feat(words_parse, words_feat, (0, 1))  # E+A
+    vis_list = [apply_mutan(p["mutan"], valid, spatial, v)
+                for p, v in zip(params_list, visuals)]
+    graphs, gws = apply_spa_graph_grouped(
+        [p["graph"] for p in params_list], cfg, vis_list, words_feat,
+        words_parse, seq_mask)
+    fusions = [
+        _lang2vis_fuse(p, cfg, vls, gf, valid, spatial, words_feat,
+                       words_parse)
+        for p, vls, gf in zip(params_list, vis_list, graphs)]
+    return fusions, gws
+
+
+def _lang2vis_fuse(params, cfg, vis_la_sp, graph_feat, valid, spatial,
+                   words_feat, words_parse):
     if cfg.sent_fusion:
         nec = valid_lang_feat(
             words_parse, words_feat,
             tuple(range(cfg.parse_classes - 1)))              # all but U
         feat_all = apply_mutan(params["sent_mutan"], nec, spatial, graph_feat)
-        fusion = jax.nn.relu(conv2d(params["fusion"], feat_all))
-        return fusion, gw
+        return jax.nn.relu(conv2d(params["fusion"], feat_all))
 
     # concat([vis_la_sp, graph, tiled lang, spatial]) -> 1x1 conv
     # (CMPC_model.py:338-345) computed WITHOUT materializing the concat:
@@ -518,7 +555,7 @@ def apply_lang2vis(params, cfg, visual_feat, words_feat, words_parse,
     y = (term(vis_la_sp, W[:C]) + term(graph_feat, W[C:2 * C])
          + term(valid, W[2 * C:2 * C + Cl]) + term(spatial, W[2 * C + Cl:])
          + params["fusion"]["biases"].astype(jnp.float32))
-    return jax.nn.relu(y).astype(dt), gw
+    return jax.nn.relu(y).astype(dt)
 
 
 # ---------------------------------------------------------------------------

@@ -197,12 +197,17 @@ def _apply_model_body(params, state, cfg: ModelConfig, batch: dict, *,
         im_hsv = resize_bilinear(im_hsv, h, w)
         spatial = jnp.concatenate([spatial, im_hsv], axis=-1)
 
-    # per-level cross-modal comprehension
+    # per-level cross-modal comprehension; the spa-graph phase runs
+    # level-packed (cmpc.apply_lang2vis_multi — one grouped kernel launch
+    # set for all levels)
     fusions, gw, up_levels = {}, {}, {}
-    for lv in cfg.levels:
-        fusions[lv], gw[lv] = cmpc.apply_lang2vis(
-            params["levels"][lv], cfg, laterals[lv], text.words_feat,
-            words_parse, text.seq_mask, spatial)
+    fusion_list, gw_list = cmpc.apply_lang2vis_multi(
+        [params["levels"][lv] for lv in cfg.levels], cfg,
+        [laterals[lv] for lv in cfg.levels], text.words_feat,
+        words_parse, text.seq_mask, spatial)
+    for lv, fusion_lv, gw_lv in zip(cfg.levels, fusion_list, gw_list):
+        fusions[lv] = fusion_lv
+        gw[lv] = gw_lv
         score_lv = conv2d(params["scores"][f"score_{lv}"],
                           fusions[lv].astype(jnp.float32))
         up_levels[lv] = resize_bilinear(score_lv, cfg.H, cfg.W)

@@ -671,3 +671,44 @@ class TestGroupedSpaGraph:
         g = jax.grad(loss)(wgs)
         assert np.all(np.isfinite(np.asarray(g)))
         assert float(jnp.abs(g).max()) > 0
+
+
+def test_lang2vis_multi_matches_per_level(rng):
+    """apply_lang2vis_multi (level-packed spa-graph) must reproduce the
+    per-level apply_lang2vis outputs exactly on the XLA path."""
+    import jax
+    from cmpc_refseg_tpu.config import get_config
+    from cmpc_refseg_tpu.models import cmpc
+    from cmpc_refseg_tpu.models.model import init_model
+    from cmpc_refseg_tpu.models.language import encode_text
+
+    cfg = get_config("CMPC_model", H=32, W=32, num_steps=6, vocab_size=30,
+                     glove_dim=8, rnn_size=16, v_emb_dim=16, mlp_dim=12,
+                     batch_size=2, res4_blocks=2)
+    params, _ = init_model(jax.random.PRNGKey(0), cfg)
+    b, hw = 2, cfg.vf_h
+    words = np.zeros((b, cfg.num_steps), np.int32)
+    words[:, :3] = [[3, 4, 5], [6, 7, 8]]
+    text = encode_text(params["text"], cfg, words=jnp.asarray(words),
+                       seq_len=jnp.asarray([3, 3], jnp.int32))
+    words_parse = cmpc.apply_lang_parser(params["parser"], text.parse_feat,
+                                         text.seq_mask)
+    from cmpc_refseg_tpu.ops.spatial import spatial_coordinate_grid
+    spatial = jnp.broadcast_to(spatial_coordinate_grid(hw, hw)[None],
+                               (b, hw, hw, 8))
+    visuals = [jnp.asarray(rng.standard_normal((b, hw, hw, cfg.v_emb_dim)),
+                           jnp.float32) for _ in cfg.levels]
+    plist = [params["levels"][lv] for lv in cfg.levels]
+
+    multi_f, multi_gw = cmpc.apply_lang2vis_multi(
+        plist, cfg, visuals, text.words_feat, words_parse, text.seq_mask,
+        spatial)
+    for i, lv in enumerate(cfg.levels):
+        f1, gw1 = cmpc.apply_lang2vis(
+            plist[i], cfg, visuals[i], text.words_feat, words_parse,
+            text.seq_mask, spatial)
+        np.testing.assert_allclose(np.asarray(multi_f[i]), np.asarray(f1),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(multi_gw[i][0]),
+                                   np.asarray(gw1[0]), rtol=1e-5,
+                                   atol=1e-6)
