@@ -552,6 +552,9 @@ def _lang2vis_fuse(params, cfg, vis_la_sp, graph_feat, valid, spatial,
         return jnp.einsum("...c,cd->...d", x.astype(dt), rows.astype(dt),
                           preferred_element_type=jnp.float32)
 
+    # (r4 A/B: computing the two big terms as one concat+matmul measured
+    # 542 vs 545 masks/s — the 2C-wide bf16 concat copy offsets the saved
+    # f32 partial; the 4-term split stands.  PERF.md r4 notes.)
     y = (term(vis_la_sp, W[:C]) + term(graph_feat, W[C:2 * C])
          + term(valid, W[2 * C:2 * C + Cl]) + term(spatial, W[2 * C + Cl:])
          + params["fusion"]["biases"].astype(jnp.float32))
