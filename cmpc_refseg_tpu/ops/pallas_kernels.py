@@ -909,6 +909,10 @@ def graph_conv_fused(gp, x_nodes, w_aff, v_aff, *, interpret=False):
 
     gps = gp if isinstance(gp, (list, tuple)) else [gp]
     groups = len(gps)
+    if bsz % groups:
+        raise ValueError(f"graph_conv_fused: batch {bsz} not divisible by "
+                         f"{groups} weight groups (group index would run "
+                         "off the packed weight array)")
     w = jnp.stack([g["update"]["DW"][0, 0] for g in gps]).astype(dt)
     b = jnp.stack([g["update"]["biases"] for g in gps]
                   ).reshape(groups, 1, c).astype(dt)
@@ -967,6 +971,10 @@ def spa_affinity_fused(x2, wg, bg, wt, rel, mask, *, scale: float,
         wg = wg[None]
         bg = bg.reshape(1, a)
     groups = wg.shape[0]
+    if bsz % groups:
+        raise ValueError(f"spa_affinity_fused: batch {bsz} not divisible "
+                         f"by {groups} weight groups (group index would "
+                         "run off the packed weight array)")
     bpg = bsz // groups
     tiles = 1
     for cand in (4, 2, 1):

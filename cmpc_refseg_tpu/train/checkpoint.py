@@ -53,9 +53,45 @@ def restore_checkpoint(directory: str, target: Any,
         if not isinstance(x, jax.ShapeDtypeStruct) else x, target)
     try:
         return mgr.restore(step, args=ocp.args.StandardRestore(abstract))
+    except Exception as e:
+        # Only attempt legacy migration when the SAVED layout actually
+        # differs from the target's (pre-flat trainable, per-leaf moments);
+        # a transient I/O error on a new-format checkpoint must surface as
+        # itself, not as a confusing migration failure, and the second full
+        # restore below doubles peak host memory (advisor r4).
+        if not _layout_mismatch(mgr, step, target):
+            raise
+        print(f"[restore] structured restore failed "
+              f"({type(e).__name__}: {e}); saved layout differs from "
+              "target — attempting legacy-checkpoint migration", flush=True)
+        try:
+            raw = mgr.restore(step)     # structure as saved (nested dicts)
+            return _migrate_legacy_state(raw, target)
+        except Exception as e2:
+            raise RuntimeError(
+                f"legacy-checkpoint migration also failed: {e2}") from e
+
+
+def _layout_mismatch(mgr, step, target) -> bool:
+    """True when the saved checkpoint's trainable layout differs from the
+    target's (the only case legacy migration can fix).  Probes saved item
+    metadata (cheap — no tensor reads); if the probe itself fails, returns
+    True so the migration path still gets its chance."""
+    try:
+        meta = mgr.item_metadata(step)
+        tree = getattr(meta, "tree", meta)
+        if hasattr(tree, "get"):            # saved as a dict-like pytree
+            saved_tr = tree.get("trainable")
+        else:
+            saved_tr = getattr(tree, "trainable", None)
+        if saved_tr is None:
+            return True
+        want = np.shape(getattr(target, "trainable", None))
+        saved_shape = tuple(getattr(saved_tr, "shape", ()) or ())
+        # new format: trainable saved as ONE rank-1 array of matching size
+        return not (saved_shape == tuple(want))
     except Exception:
-        raw = mgr.restore(step)     # structure as saved (nested dicts)
-        return _migrate_legacy_state(raw, target)
+        return True
 
 
 def _migrate_legacy_state(raw: Any, target: Any) -> Any:
@@ -80,6 +116,12 @@ def _migrate_legacy_state(raw: Any, target: Any) -> Any:
     if flat.size != want:
         raise ValueError(f"checkpoint has {flat.size} trainable params, "
                          f"model needs {want}")
+    # Pin the migrated vector to the target's dtype — a legacy checkpoint
+    # with a non-f32 leaf must not silently change the optimizer's
+    # parameter dtype through concatenate promotion (advisor r4).
+    tgt_dtype = getattr(target.trainable, "dtype", None)
+    if tgt_dtype is not None:
+        flat = flat.astype(tgt_dtype)
     # Adam moments: carry over iff already flat with matching size;
     # otherwise (per-leaf legacy layout) keep target's fresh init.
     opt_state = target.opt_state

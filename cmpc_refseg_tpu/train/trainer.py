@@ -44,6 +44,12 @@ class Unravel:
         self.treedef = treedef
         self.shapes = tuple(tuple(s) for s in shapes)
         self.dtypes = tuple(jnp.dtype(d) for d in dtypes)
+        # The flat vector's dtype: numpy promotion over the leaves — the
+        # same dtype flatten_trainable's concatenate produces, so ravel
+        # stays consistent with the stored vector even if a future
+        # trainable tree mixes dtypes (advisor r4).
+        self.flat_dtype = jnp.result_type(*self.dtypes) if self.dtypes \
+            else jnp.dtype(jnp.float32)
         sizes = [int(np.prod(s)) if s else 1 for s in self.shapes]
         self.offsets = tuple(np.cumsum([0] + sizes).tolist())
         self.size = self.offsets[-1]
@@ -59,7 +65,7 @@ class Unravel:
         """Inverse: pytree -> flat vector (same leaf order as __call__)."""
         leaves = jax.tree_util.tree_leaves(tree)
         return jnp.concatenate(
-            [jnp.ravel(l).astype(self.dtypes[0]) for l in leaves])
+            [jnp.ravel(l).astype(self.flat_dtype) for l in leaves])
 
     def _spec(self):
         return (self.treedef, self.shapes, self.dtypes)
@@ -79,7 +85,8 @@ def flatten_trainable(tree):
     dtypes = [np.asarray(l).dtype if not hasattr(l, "dtype") else l.dtype
               for l in leaves]
     unravel = Unravel(treedef, shapes, dtypes)
-    flat = jnp.concatenate([jnp.ravel(jnp.asarray(l)) for l in leaves])
+    flat = jnp.concatenate([jnp.ravel(jnp.asarray(l)) for l in leaves]
+                           ).astype(unravel.flat_dtype)
     return flat, unravel
 
 

@@ -134,8 +134,10 @@ def run_variant(name, steps, geo, lr=2.5e-4):
     losses.append(float(m["loss_cls_all"]))
     compile_s = time.time() - t0
 
-    warm = max(2, steps // 10)
-    t_mark = None
+    # warm < steps - 1 so the timing window is non-empty even for tiny
+    # --steps (advisor r4: warm >= steps left t_mark unset -> TypeError)
+    warm = min(max(2, steps // 10), max(steps - 2, 0))
+    t_mark = time.time()
     for it in range(1, steps):
         state, m = step_fn(state, pool[it % len(pool)])
         if it == warm:
