@@ -152,8 +152,37 @@ def brightness_aug(key, im: jnp.ndarray, max_delta: float = 0.2) -> jnp.ndarray:
     return im + delta
 
 
-def make_train_step(cfg: ModelConfig, tp_rule: Optional[Callable] = None
-                    ) -> Callable:
+@jax.custom_vjp
+def _grad_x2(x):
+    """Identity whose cotangent is doubled: the reference's bias-gradient
+    lr-mult 2 (CMPC_model.py:462-475) expressed INSIDE the differentiated
+    function, so the flat-gradient path needs no post-hoc pytree scaling
+    (leaf paths don't survive the ravel)."""
+    return x
+
+
+def _grad_x2_fwd(x):
+    return x, None
+
+
+def _grad_x2_bwd(_, g):
+    return (g * 2.0,)
+
+
+_grad_x2.defvjp(_grad_x2_fwd, _grad_x2_bwd)
+
+
+def mark_bias_grads_x2(tree):
+    """Wrap conv 'biases' leaves in _grad_x2 (same name filter as
+    optimizer.scale_bias_grads_tree)."""
+    def mark(path, x):
+        is_bias = any(getattr(k, "key", None) == "biases" for k in path)
+        return _grad_x2(x) if is_bias else x
+    return jax.tree_util.tree_map_with_path(mark, tree)
+
+
+def make_train_step(cfg: ModelConfig, tp_rule: Optional[Callable] = None,
+                    grad_mode: Optional[str] = None) -> Callable:
     """Returns jitted (state, batch) -> (state, metrics).
 
     batch: {'im' [B,H,W,3] f32 BGR-mean-sub, 'target' [B,H,W,1] f32,
@@ -164,9 +193,23 @@ def make_train_step(cfg: ModelConfig, tp_rule: Optional[Callable] = None
     inside the step — tensor parallelism over the 'model' mesh axis on top
     of the ZeRO-style flat master vector (SURVEY section 5.7: shard the big
     fusion/graph matmuls when resolution rises).
+
+    grad_mode (default env CMPC_GRAD_MODE, else 'tree' pending the TPU A/B):
+      'flat' — differentiate w.r.t. the flat master vector directly; the
+        cotangent of each trace-time slice view lands in the flat gradient
+        buffer, so the ~167-leaf gradient-tree concatenate disappears
+        (measured on v5e-1: the concat cost ~3.4 ms of the 6.1-7.1 ms
+        optimizer block — PERF.md r5 notes).  Bias x2 via mark_bias_grads_x2.
+      'tree' — round-4 layout: differentiate w.r.t. the parameter pytree,
+        scale bias leaves, then one concat (kept for A/B).
     """
+    import os
     from cmpc_refseg_tpu.train.optimizer import scale_bias_grads_tree
     opt = make_optimizer(cfg, flat=True)
+    if grad_mode is None:
+        grad_mode = os.environ.get("CMPC_GRAD_MODE", "tree")
+    if grad_mode not in ("flat", "tree"):
+        raise ValueError(f"unknown grad_mode {grad_mode!r}")
 
     def loss_fn(trainable, frozen, model_state, batch, rng):
         params = merge_params(trainable, frozen)
@@ -186,26 +229,37 @@ def make_train_step(cfg: ModelConfig, tp_rule: Optional[Callable] = None
         metrics["train_mIoU"] = jnp.mean(inter / jnp.maximum(union, 1))
         return total, (metrics, new_model_state)
 
+    def _constrain(tr_tree):
+        if tp_rule is None:
+            return tr_tree
+        return jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(x, tp_rule(x)),
+            tr_tree)
+
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: dict):
         rng = jax.random.fold_in(jax.random.PRNGKey(42), state.step)
-        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        # Params stay FLAT in the state: unravel to trace-time slice views
-        # for the forward (XLA fuses them into their consumers); gradients
-        # come back as a tree with the same structure and concatenate ONCE.
-        tr_tree = trainable_tree(state)
-        if tp_rule is not None:
-            tr_tree = jax.tree.map(
-                lambda x: jax.lax.with_sharding_constraint(x, tp_rule(x)),
-                tr_tree)
-        (_, (metrics, new_model_state)), grads = grad_fn(
-            tr_tree, state.frozen, state.model_state, batch, rng)
-        # bias x2 on the pytree (fuses into the grad kernels), then one
-        # concat — Adam + the parameter add run on a single big vector
-        # instead of ~300 leaves (launch-bound: 12.3 ms -> ~1 ms), with no
-        # param ravel / update unravel (round-3's ~9-10 ms layout tax).
-        grads = scale_bias_grads_tree(grads)
-        flat_g = state.unravel.ravel(grads)
+        if grad_mode == "flat":
+            # Differentiate w.r.t. the flat vector itself: the unravel's
+            # trace-time slices transpose to disjoint segment writes into
+            # ONE flat gradient buffer — no gradient-tree concat at all.
+            def loss_flat(flat, frozen, model_state, batch, rng):
+                tree = mark_bias_grads_x2(_constrain(state.unravel(flat)))
+                return loss_fn(tree, frozen, model_state, batch, rng)
+
+            (_, (metrics, new_model_state)), flat_g = jax.value_and_grad(
+                loss_flat, has_aux=True)(
+                    state.trainable, state.frozen, state.model_state,
+                    batch, rng)
+        else:
+            grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+            # Round-4 layout: unravel to trace-time slice views for the
+            # forward; gradients come back as a tree with the same
+            # structure, bias x2 on the pytree, and concatenate ONCE.
+            tr_tree = _constrain(trainable_tree(state))
+            (_, (metrics, new_model_state)), grads = grad_fn(
+                tr_tree, state.frozen, state.model_state, batch, rng)
+            flat_g = state.unravel.ravel(scale_bias_grads_tree(grads))
         updates, new_opt_state = opt.update(flat_g, state.opt_state,
                                             state.trainable)
         new_trainable = state.trainable + updates

@@ -523,6 +523,39 @@ class TestFlatTrainState:
                                    rtol=1e-6, atol=1e-8)
         assert np.abs(got - want).max() <= 2.1 * cfg.start_lr
 
+    def test_flat_grad_mode_matches_tree_mode(self, rng):
+        """grad_mode='flat' (differentiate w.r.t. the flat master vector;
+        no gradient-tree concat) must reproduce grad_mode='tree' — same
+        math, different transpose layout (VERDICT r4 #2a).  Where the true
+        gradient is resolved the two steps agree to float tolerance; the
+        noise-dominated zero-gradient leaves are bounded by Adam's first
+        -step +-lr in both paths (see the r3-semantics test above)."""
+        cfg = get_config("CMPC_model", **TINY)
+        state_a = create_train_state(jax.random.PRNGKey(0), cfg)
+        state_b = create_train_state(jax.random.PRNGKey(0), cfg)
+        batch = make_batch(cfg, rng)
+        base = np.asarray(state_a.trainable)   # before donation eats it
+        step_tree = make_train_step(cfg, grad_mode="tree")
+        step_flat = make_train_step(cfg, grad_mode="flat")
+        a, ma = step_tree(state_a, batch)
+        b, mb = step_flat(state_b, batch)
+        np.testing.assert_allclose(float(ma["loss_cls_all"]),
+                                   float(mb["loss_cls_all"]), rtol=1e-6)
+        got_a = np.asarray(a.trainable)
+        got_b = np.asarray(b.trainable)
+        # compare updates where they are meaningfully resolved
+        upd_a = got_a - base
+        resolved = np.abs(upd_a) > 1e-7
+        assert resolved.mean() > 0.3
+        np.testing.assert_allclose(got_b[resolved], got_a[resolved],
+                                   rtol=5e-4, atol=1e-6)
+        assert np.abs(got_b - got_a).max() <= 2.1 * cfg.start_lr
+        # second step keeps agreeing (moments carried identically)
+        a2, _ = step_tree(a, batch)
+        b2, _ = step_flat(b, batch)
+        assert np.abs(np.asarray(b2.trainable)
+                      - np.asarray(a2.trainable)).max() <= 4.2 * cfg.start_lr
+
     def test_unravel_identity_stable_across_states(self):
         """Two states from the same config share treedef (no retraces)."""
         cfg = get_config("CMPC_model", **TINY)
