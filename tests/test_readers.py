@@ -7,6 +7,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from cmpc_refseg_tpu.data.reader import NpzReader
 from cmpc_refseg_tpu.data.refvos import OBJECT_COLOR, RefVOSBertReader
@@ -133,6 +134,97 @@ def test_process_prefetch_reader(tmp_path):
         assert batch["mask_batch"].any()
     finally:
         r.close()
+
+
+def _write_refvos_fixture(root, native=(96, 128), n=3, palette_mask=False):
+    """Tiny RefVOS-layout dataset; JPEG frames + (RGB or palette) PNG masks."""
+    import json
+    from PIL import Image
+    from cmpc_refseg_tpu.data.refvos import OBJECT_COLOR
+
+    os.makedirs(os.path.join(root, "J", "v"), exist_ok=True)
+    os.makedirs(os.path.join(root, "A", "v"), exist_ok=True)
+    rng = np.random.default_rng(1)
+    h, w = native
+    meta = []
+    for i in range(n):
+        # smooth content so JPEG artifacts stay small (like natural video)
+        small = rng.integers(0, 255, (h // 8, w // 8, 3), dtype=np.uint8)
+        im = np.asarray(Image.fromarray(small).resize((w, h),
+                                                      Image.BILINEAR))
+        Image.fromarray(im).save(os.path.join(root, "J", "v", f"f{i}.jpg"),
+                                 quality=90)
+        m = np.zeros((h, w), np.uint8)
+        m[h // 4:h // 2, w // 4:w // 2] = 1
+        if palette_mask:
+            pm = Image.fromarray(m, mode="P")
+            pm.putpalette([0, 0, 0] + list(OBJECT_COLOR["1"])
+                          + [0] * (254 * 3))
+            pm.save(os.path.join(root, "A", "v", f"f{i}.png"))
+        else:
+            rgb = np.zeros((h, w, 3), np.uint8)
+            rgb[m > 0] = OBJECT_COLOR["1"]
+            Image.fromarray(rgb).save(os.path.join(root, "A", "v",
+                                                   f"f{i}.png"))
+        meta.append([f"v/f{i}.jpg", f"v/f{i}.png", "a thing", "1"])
+    with open(os.path.join(root, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(root, "vocab.txt"), "w") as f:
+        f.write("\n".join(["<pad>", "<go>", "<eos>", "a", "thing", "<unk>"]))
+    return (os.path.join(root, "J"), os.path.join(root, "A"),
+            os.path.join(root, "meta.json"), os.path.join(root, "vocab.txt"))
+
+
+@pytest.mark.parametrize("palette_mask", [False, True])
+def test_fast_decode_matches_slow_path(tmp_path, palette_mask):
+    """fast_decode (scaled JPEG decode + uint8 resize; sampled-first mask
+    decode) vs the parity path: masks must be BIT-IDENTICAL (the bool
+    resize is nearest sampling either way), images within a few LSB (the
+    anti-alias filter differs: DCT scaling + INTER_AREA vs gaussian +
+    bilinear).  VERDICT r4 #4."""
+    from cmpc_refseg_tpu.data.refvos import RefVOSDataset
+
+    im_dir, mask_dir, meta, vocab = _write_refvos_fixture(
+        str(tmp_path), native=(96, 128), palette_mask=palette_mask)
+    slow = RefVOSDataset(im_dir, mask_dir, meta, vocab, T=6,
+                         input_h=32, input_w=32)
+    fast = RefVOSDataset(im_dir, mask_dir, meta, vocab, T=6,
+                         input_h=32, input_w=32, fast_decode=True)
+    for i in range(len(slow)):
+        a, b = slow.load(i), fast.load(i)
+        np.testing.assert_array_equal(a["mask_batch"], b["mask_batch"])
+        np.testing.assert_array_equal(a["text_batch"], b["text_batch"])
+        assert a["seq_length"] == b["seq_length"]
+        assert b["im_batch"].dtype == np.uint8
+        diff = np.abs(a["im_batch"].astype(np.int16)
+                      - b["im_batch"].astype(np.int16))
+        assert diff.mean() <= 3.0, f"mean LSB diff {diff.mean():.2f}"
+        assert diff.max() <= 40, f"max LSB diff {diff.max()}"
+        # zero-pad rows identical
+        assert (b["im_batch"][0] == 0).all() == (a["im_batch"][0] == 0).all()
+
+
+def test_fast_decode_with_anchors_and_reader(tmp_path):
+    """fast_decode flows through RefVOSReader + anchors (bbox labels built
+    from the bit-identical fast mask match the slow path's exactly)."""
+    from cmpc_refseg_tpu.data.anchors import DEFAULT_ANCHORS
+    from cmpc_refseg_tpu.data.refvos import RefVOSDataset, RefVOSReader
+
+    im_dir, mask_dir, meta, vocab = _write_refvos_fixture(str(tmp_path))
+    kw = dict(T=6, input_h=32, input_w=32, anchors=DEFAULT_ANCHORS)
+    slow = RefVOSDataset(im_dir, mask_dir, meta, vocab, **kw)
+    fast = RefVOSDataset(im_dir, mask_dir, meta, vocab, fast_decode=True,
+                         **kw)
+    a, b = slow.load(0), fast.load(0)
+    np.testing.assert_array_equal(a["label_bbox"], b["label_bbox"])
+    np.testing.assert_array_equal(a["true_bbox"], b["true_bbox"])
+
+    r = RefVOSReader(im_dir, mask_dir, meta, vocab, shuffle=False,
+                     T=6, input_h=32, input_w=32, fast_decode=True)
+    batch = r.read_collated(3)
+    assert batch["im_batch"].shape == (3, 32, 32, 3)
+    assert batch["im_batch"].dtype == np.uint8
+    assert batch["mask_batch"].any()
 
 
 def test_reader_process_sharding_disjoint_and_covering():

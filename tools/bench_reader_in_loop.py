@@ -95,6 +95,9 @@ def main(argv=None):
                     help="reuse an existing generated dataset dir")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny model geometry (CPU smoke test)")
+    ap.add_argument("--fast", action="store_true",
+                    help="fast_decode reader (scaled JPEG decode + uint8 "
+                         "resize; VERDICT r4 #4)")
     args = ap.parse_args(argv)
 
     import jax
@@ -132,7 +135,8 @@ def main(argv=None):
     reader = RefVOSReader(im_dir, mask_dir, meta_path, vocab_path,
                           T=cfg.num_steps, input_h=cfg.H, input_w=cfg.W,
                           num_workers=args.workers,
-                          prefetch_num=4 * args.batch_size)
+                          prefetch_num=4 * args.batch_size,
+                          fast_decode=args.fast)
 
     def disk_batch():
         # round-3 compact input path: uint8 ships over the link, the step
@@ -154,6 +158,7 @@ def main(argv=None):
         "img_per_s": round(disk_sps * args.batch_size, 1),
         "workers": args.workers,
         "batch_size": args.batch_size,
+        "fast_decode": args.fast,
         "platform": jax.devices()[0].platform,
     }
     print(json.dumps(result))
