@@ -512,15 +512,19 @@ def mutan_bwd_fused(x, w, b, lang, g, v_res, *, num_heads: int = 5,
     dx_p = jax.lax.dot_general(dz_p.astype(dt), w_wide,
                                (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32)
-    # dW computed TRANSPOSED ([hcp, kp]) so XLA's operand relayout falls on
-    # the small x (26MB) instead of dz (131MB — profiled 0.4 ms/level as a
-    # bf16[5120,12800] copy); the [hcp,kp] f32 result transpose is ~20MB.
-    dwt_p = jax.lax.dot_general(dz_p.astype(dt), x_flat,
-                                (((0,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+    # dW with x as the LHS: both operands contract over their MAJOR dim
+    # (the 12800 rows), so XLA must relayout one of them — and it picks the
+    # LHS.  With dz as LHS (the round-3 "dW transposed" layout) the r5
+    # xplane trace showed the copy STILL landing on dz (bf16[5120,12800],
+    # 0.39 ms/level); x as LHS moves it to the 26MB x (~0.03 ms) and the
+    # result is dW in its natural [kp, hcp] orientation (no final
+    # transpose).
+    dw_p = jax.lax.dot_general(x_flat, dz_p.astype(dt),
+                               (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
 
     dx = dx_p.astype(dt).reshape(bsz, n, kp)[:, :, :k]
-    dw = dwt_p.reshape(num_heads, cp, kp).transpose(2, 0, 1)[
+    dw = dw_p.reshape(kp, num_heads, cp)[
         :k, :, :c].reshape(k, num_heads * c).astype(w.dtype)
     db = db_p.reshape(num_heads, cp)[:, :c].reshape(
         num_heads * c).astype(b.dtype)

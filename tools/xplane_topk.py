@@ -45,6 +45,59 @@ def parse_xplane(path, device_only=True):
     return rows
 
 
+def attributed_breakdown(path, iters, boundaries=(15.4, 39.3)):
+    """Sync-op breakdown of a train-step trace, attributed to source lines.
+
+    Uses only the device plane's 'XLA Ops' line (the synchronous critical
+    path; 'Async XLA Ops' — cross-program weight prefetches — overlap and
+    are excluded), buckets each op by its time position within its 'Steps'
+    event (fwd < boundaries[0] ms, bwd < boundaries[1], opt after), and
+    aggregates per op-metadata `source` file:line stat.
+
+    Returns (bucket_totals, rows) where rows = [(bucket, source, ms/iter)].
+    The fwd/bwd boundaries come from tools/profile_blocks.py block timings
+    (fwd-only and fwd+bwd chain slopes)."""
+    os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+    space = xplane_pb2.XSpace()
+    with open(path, "rb") as f:
+        space.ParseFromString(f.read())
+    plane = next(p for p in space.planes
+                 if "TPU" in p.name or "/device" in p.name)
+    sm = {k: v.name for k, v in plane.stat_metadata.items()}
+    lines = {l.name: l for l in plane.lines}
+    steps = sorted((ev.offset_ps, ev.duration_ps)
+                   for ev in lines["Steps"].events)
+
+    def step_pos(off):
+        for s0, d in steps:
+            if s0 <= off < s0 + d:
+                return (off - s0) / 1e9
+        return None
+
+    def source_of(md):
+        for st in md.stats:
+            if sm.get(st.metadata_id) == "source":
+                return st.str_value or st.ref_value
+        return "?"
+
+    bucket_tot = defaultdict(float)
+    by_src = defaultdict(float)
+    for ev in lines["XLA Ops"].events:
+        pos = step_pos(ev.offset_ps)
+        if pos is None:
+            continue
+        ms = ev.duration_ps / 1e9 / iters
+        b = ("fwd" if pos < boundaries[0]
+             else "bwd" if pos < boundaries[1] else "opt")
+        bucket_tot[b] += ms
+        by_src[(b, str(source_of(plane.event_metadata[ev.metadata_id])))] \
+            += ms
+    rows = sorted(((b, s, ms) for (b, s), ms in by_src.items()),
+                  key=lambda r: -r[2])
+    return dict(bucket_tot), rows
+
+
 def capture(program, variant, iters, batch):
     import jax
     import jax.numpy as jnp
@@ -121,10 +174,27 @@ def main(argv=None):
     ap.add_argument("--topk", type=int, default=25)
     ap.add_argument("--xplane", default=None,
                     help="parse an existing .xplane.pb instead of capturing")
+    ap.add_argument("--by-source", action="store_true",
+                    help="attributed breakdown: sync ops only, bucketed "
+                         "fwd/bwd/opt by step position, grouped by source "
+                         "file:line (train-step analysis mode)")
+    ap.add_argument("--boundaries", default="15.4,39.3",
+                    help="fwd-end,bwd-end ms for --by-source bucketing "
+                         "(from profile_blocks fwd / fwd+bwd slopes)")
     args = ap.parse_args(argv)
 
     path = args.xplane or capture(args.program, args.variant, args.iters,
                                   args.batch)
+    if args.by_source:
+        bounds = tuple(float(x) for x in args.boundaries.split(","))
+        totals, rows = attributed_breakdown(path, args.iters, bounds)
+        print(f"xplane: {path}")
+        print("bucket totals (ms/iter):",
+              {k: round(v, 2) for k, v in totals.items()})
+        print(f"{'ms/iter':>9}  bucket  source")
+        for b, src, ms in rows[:args.topk]:
+            print(f"{ms:9.3f}  {b:6s}  {src[:84]}")
+        return
     rows = parse_xplane(path)
     per_iter = defaultdict(float)
     counts = {}
