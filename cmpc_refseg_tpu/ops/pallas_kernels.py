@@ -397,6 +397,52 @@ def _mutan_fwd_with_residual(x, w, b, lang, *, num_heads: int = 5,
     return out[:, :c].reshape(bsz, n, c), v_res
 
 
+def _mutan_dw_call(x_flat, dz_p, *, kp, cp, num_heads, tm, bsz_n,
+                   interpret=False):
+    """dW = x^T @ dz as a Pallas kernel consuming dz in its NATIVE layout.
+
+    The XLA dot for this contraction (over the B*N rows — the MAJOR dim of
+    both operands) forces a relayout copy of one operand, and layout
+    assignment picks dz (131MB bf16 -> 0.39 ms/level; operand order cannot
+    steer it — dots are canonicalized first, PERF.md r5 notes).  Here the
+    per-head grid accumulates x_tile^T @ dz_htile into a VMEM f32 scratch
+    ([kp, cp] = 4.1MB at production dims) with small in-VMEM tile
+    transposes, so dz is only ever read in row-major blocks.
+
+    x_flat [B*N, kp] bf16, dz_p [B*N, H*cp] bf16 -> dW [kp, H, cp] f32.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+    tiles = bsz_n // tm
+
+    def kern(x_ref, dz_ref, dw_ref, acc_ref):
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        xt = jnp.swapaxes(x_ref[...], 0, 1)            # [kp, tm] in VMEM
+        acc_ref[...] += jax.lax.dot(xt, dz_ref[...],
+                                    preferred_element_type=jnp.float32)
+
+        @pl.when(t == tiles - 1)
+        def _():
+            dw_ref[0] = acc_ref[...]
+
+    return pl.pallas_call(
+        kern,
+        grid=(num_heads, tiles),
+        in_specs=[
+            pl.BlockSpec((tm, kp), lambda h, t: (t, 0)),
+            pl.BlockSpec((tm, cp), lambda h, t: (t, h)),
+        ],
+        out_specs=pl.BlockSpec((1, kp, cp), lambda h, t: (h, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((num_heads, kp, cp), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((kp, cp), jnp.float32)],
+        interpret=interpret,
+    )(x_flat, dz_p)
+
+
 @functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
 def mutan_bwd_fused(x, w, b, lang, g, v_res, *, num_heads: int = 5,
                     interpret: bool = False):
@@ -512,20 +558,26 @@ def mutan_bwd_fused(x, w, b, lang, g, v_res, *, num_heads: int = 5,
     dx_p = jax.lax.dot_general(dz_p.astype(dt), w_wide,
                                (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32)
-    # dW with x as the LHS: both operands contract over their MAJOR dim
-    # (the 12800 rows), so XLA must relayout one of them — and it picks the
-    # LHS.  With dz as LHS (the round-3 "dW transposed" layout) the r5
-    # xplane trace showed the copy STILL landing on dz (bf16[5120,12800],
-    # 0.39 ms/level); x as LHS moves it to the 26MB x (~0.03 ms) and the
-    # result is dW in its natural [kp, hcp] orientation (no final
-    # transpose).
-    dw_p = jax.lax.dot_general(x_flat, dz_p.astype(dt),
-                               (((0,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+    # dW: the XLA dot for this contraction (over the MAJOR dim of both
+    # operands) forces a 131MB relayout copy of dz regardless of operand
+    # order (dots are canonicalized before layout assignment — r5 xplane
+    # A/B, PERF.md).  The Pallas per-head accumulation kernel reads dz in
+    # its native layout instead; CMPC_MUTAN_DW=xla restores the dot for
+    # A/B.
+    import os
+    if os.environ.get("CMPC_MUTAN_DW", "").lower() == "xla":
+        dw_p = jax.lax.dot_general(x_flat, dz_p.astype(dt),
+                                   (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        dw_p = dw_p.reshape(kp, num_heads, cp)
+    else:
+        dw_p = _mutan_dw_call(x_flat, dz_p.astype(dt), kp=kp, cp=cp,
+                              num_heads=num_heads, tm=tm, bsz_n=bsz * n,
+                              interpret=interpret
+                              ).transpose(1, 0, 2)      # [kp, H, cp]
 
     dx = dx_p.astype(dt).reshape(bsz, n, kp)[:, :, :k]
-    dw = dw_p.reshape(kp, num_heads, cp)[
-        :k, :, :c].reshape(k, num_heads * c).astype(w.dtype)
+    dw = dw_p[:k, :, :c].reshape(k, num_heads * c).astype(w.dtype)
     db = db_p.reshape(num_heads, cp)[:, :c].reshape(
         num_heads * c).astype(b.dtype)
     dlang = dl_p.reshape(bsz, num_heads, cp)[:, :, :c].reshape(
