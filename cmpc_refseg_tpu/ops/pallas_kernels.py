@@ -397,7 +397,7 @@ def _mutan_fwd_with_residual(x, w, b, lang, *, num_heads: int = 5,
     return out[:, :c].reshape(bsz, n, c), v_res
 
 
-def _mutan_dw_call(x_flat, dz_p, *, kp, cp, num_heads, tm, bsz_n,
+def _mutan_dw_call(x_flat, dz_p, *, kp, cp, num_heads, bsz_n,
                    interpret=False):
     """dW = x^T @ dz as a Pallas kernel consuming dz in its NATIVE layout.
 
@@ -412,6 +412,16 @@ def _mutan_dw_call(x_flat, dz_p, *, kp, cp, num_heads, tm, bsz_n,
     x_flat [B*N, kp] bf16, dz_p [B*N, H*cp] bf16 -> dW [kp, H, cp] f32.
     """
     from jax.experimental.pallas import tpu as pltpu
+    # Row-block size independent of the dz kernel's tile: as large as VMEM
+    # allows (x + dz blocks double-buffered + f32 acc + out block) so each
+    # grid step is a big MXU contraction, not a tm-row sliver.
+    tm = bsz_n
+    for cand in (1280, 1024, 640, 512, 256, 128, 64, 32, 16, 8):
+        if bsz_n % cand == 0 and cand <= bsz_n \
+                and (cand * (kp + cp) * 2 * 2          # in blocks, 2x buffered
+                     + kp * cp * 4 * 2) < 14 * 1024 * 1024:
+            tm = cand
+            break
     tiles = bsz_n // tm
 
     def kern(x_ref, dz_ref, dw_ref, acc_ref):
@@ -421,9 +431,9 @@ def _mutan_dw_call(x_flat, dz_p, *, kp, cp, num_heads, tm, bsz_n,
         def _():
             acc_ref[...] = jnp.zeros_like(acc_ref)
 
-        xt = jnp.swapaxes(x_ref[...], 0, 1)            # [kp, tm] in VMEM
-        acc_ref[...] += jax.lax.dot(xt, dz_ref[...],
-                                    preferred_element_type=jnp.float32)
+        acc_ref[...] += jax.lax.dot_general(
+            x_ref[...], dz_ref[...], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
         @pl.when(t == tiles - 1)
         def _():
@@ -572,7 +582,7 @@ def mutan_bwd_fused(x, w, b, lang, g, v_res, *, num_heads: int = 5,
         dw_p = dw_p.reshape(kp, num_heads, cp)
     else:
         dw_p = _mutan_dw_call(x_flat, dz_p.astype(dt), kp=kp, cp=cp,
-                              num_heads=num_heads, tm=tm, bsz_n=bsz * n,
+                              num_heads=num_heads, bsz_n=bsz * n,
                               interpret=interpret
                               ).transpose(1, 0, 2)      # [kp, H, cp]
 
