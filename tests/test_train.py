@@ -556,6 +556,45 @@ class TestFlatTrainState:
         assert np.abs(np.asarray(b2.trainable)
                       - np.asarray(a2.trainable)).max() <= 4.2 * cfg.start_lr
 
+    def test_packed_grad_mode_matches_tree_mode(self, rng):
+        """grad_mode='packed' (differentiate w.r.t. ~G contiguous segment
+        vectors, VERDICT r4 #2b) reproduces grad_mode='tree' within the
+        same first-step Adam bounds as the flat-mode test above; the
+        segment partition covers every leaf exactly once."""
+        cfg = get_config("CMPC_model", **TINY)
+        from cmpc_refseg_tpu.train.trainer import trainable_tree
+        state_a = create_train_state(jax.random.PRNGKey(0), cfg)
+        state_b = create_train_state(jax.random.PRNGKey(0), cfg)
+        # partition sanity on the real unravel
+        groups = state_a.unravel.segment_groups(12)
+        assert groups[0][0] == 0 and groups[-1][1] == len(
+            state_a.unravel.shapes)
+        assert all(a[1] == b[0] for a, b in zip(groups, groups[1:]))
+        tree_rt = state_a.unravel.from_segments(
+            [state_a.trainable[state_a.unravel.offsets[lo]:
+                               state_a.unravel.offsets[hi]]
+             for lo, hi in groups], groups)
+        for x, y in zip(jax.tree.leaves(tree_rt),
+                        jax.tree.leaves(trainable_tree(state_a))):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+        batch = make_batch(cfg, rng)
+        base = np.asarray(state_a.trainable)
+        step_tree = make_train_step(cfg, grad_mode="tree")
+        step_packed = make_train_step(cfg, grad_mode="packed")
+        a, ma = step_tree(state_a, batch)
+        b, mb = step_packed(state_b, batch)
+        np.testing.assert_allclose(float(ma["loss_cls_all"]),
+                                   float(mb["loss_cls_all"]), rtol=1e-6)
+        got_a = np.asarray(a.trainable)
+        got_b = np.asarray(b.trainable)
+        upd_a = got_a - base
+        resolved = np.abs(upd_a) > 1e-7
+        assert resolved.mean() > 0.3
+        np.testing.assert_allclose(got_b[resolved], got_a[resolved],
+                                   rtol=5e-4, atol=1e-6)
+        assert np.abs(got_b - got_a).max() <= 2.1 * cfg.start_lr
+
     def test_unravel_identity_stable_across_states(self):
         """Two states from the same config share treedef (no retraces)."""
         cfg = get_config("CMPC_model", **TINY)
