@@ -595,6 +595,33 @@ class TestFlatTrainState:
                                    rtol=5e-4, atol=1e-6)
         assert np.abs(got_b - got_a).max() <= 2.1 * cfg.start_lr
 
+    def test_fused_adam_matches_optax(self):
+        """_fused_flat_adam (CMPC_ADAM=fused — one elementwise graph, no
+        materialized updates vector) is bit-compatible with
+        optax.adam(polynomial_lr) over several steps: same new params,
+        same opt_state pytree (checkpoints interchange)."""
+        from cmpc_refseg_tpu.train.optimizer import make_optimizer
+        from cmpc_refseg_tpu.train.trainer import _fused_flat_adam
+        cfg = get_config("CMPC_model", **TINY)
+        rng = np.random.default_rng(7)
+        p_a = p_b = jnp.asarray(rng.standard_normal(4097), jnp.float32)
+        opt = make_optimizer(cfg, flat=True)
+        st_a = opt.init(p_a)
+        st_b = jax.tree.map(jnp.asarray, st_a)
+        for i in range(4):
+            g = jnp.asarray(rng.standard_normal(4097) * 10.0**(-i),
+                            jnp.float32)
+            upd, st_a = opt.update(g, st_a, p_a)
+            p_a = p_a + upd
+            p_b, st_b = _fused_flat_adam(cfg, g, st_b, p_b)
+            np.testing.assert_allclose(np.asarray(p_b), np.asarray(p_a),
+                                       rtol=1e-6, atol=1e-8)
+        assert (jax.tree_util.tree_structure(st_a)
+                == jax.tree_util.tree_structure(st_b))
+        for x, y in zip(jax.tree.leaves(st_a), jax.tree.leaves(st_b)):
+            np.testing.assert_allclose(np.asarray(y), np.asarray(x),
+                                       rtol=1e-6, atol=1e-8)
+
     def test_unravel_identity_stable_across_states(self):
         """Two states from the same config share treedef (no retraces)."""
         cfg = get_config("CMPC_model", **TINY)
