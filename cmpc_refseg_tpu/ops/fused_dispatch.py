@@ -51,6 +51,10 @@ SMALL_BATCH_FUSED_VARIANTS = frozenset({
     "CMPCv4_BiLSTM_T_model",
     "CMPCv4_BERT_model",
     "CMPCv5_BiLSTM_model",
+    # r5 A/B (LATENCY_r5_addendum.json): on 2.37 vs auto 3.42 ms.  The
+    # last two "no A/B yet" rows measured auto-wins and stay out
+    # (v5_BiLSTM_HSV 3.84 vs 4.02, v6_plus 4.34 vs 4.37).
+    "CMPCv5_HSV_model",
 })
 
 _active_variant: Optional[str] = None
