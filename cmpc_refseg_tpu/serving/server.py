@@ -51,7 +51,25 @@ class PredictService:
         def fwd(p, s, batch):
             out, _ = apply_model(p, s, cfg, batch, train=False)
             return out.sigm
-        self._fwd = jax.jit(fwd)
+        # AOT pre-bound executable: request shapes are fixed (batch 1), so
+        # bind the compiled program once — skips the per-call jit cache
+        # lookup/pytree work AND makes any shape drift a loud error instead
+        # of a silent recompile latency cliff.  Measured calling-convention
+        # A/B on this platform: AOT == chained-throughput protocol, plain
+        # jit +<=0.1 ms/call (PERF.md r5 "Serving dispatch overhead",
+        # DISPATCH_r5.json).
+        import jax.numpy as jnp
+        self._jfwd = jax.jit(fwd)
+        example = {
+            "im": jax.ShapeDtypeStruct((1, cfg.H, cfg.W, 3), jnp.float32),
+            "words": jax.ShapeDtypeStruct((1, cfg.num_steps), jnp.int32),
+            "seq_len": jax.ShapeDtypeStruct((1,), jnp.int32),
+        }
+        try:
+            self._fwd = self._jfwd.lower(
+                self.params, self.state, example).compile()
+        except Exception:          # backend without AOT support
+            self._fwd = self._jfwd
         self.n_requests = 0
 
     def warmup(self):
